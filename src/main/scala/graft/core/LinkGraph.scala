@@ -1,0 +1,157 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Columnar edge-table graph, the Spark-native analog of the reference's
+ * COO edge list + graph_view (see
+ * `/root/reference/python/cugraph/cugraph/structure/graph_implementation/simpleGraph.py:39-66`
+ * and `/root/reference/cpp/include/cugraph/graph_view.hpp:280-296`).
+ *
+ * Canonical schema: `src: Long, dst: Long, weight: Double`. All operators
+ * are declarative DataFrame transformations so Catalyst/AQE keep control
+ * of the physical plan; no RDDs.
+ *
+ * Scale posture: `edges` is expected to be hash-partitioned on `src`
+ * ([[LinkGraph.partitioned]]) so the per-superstep state join
+ * (state.id == edges.src) is co-partitioned and only the message
+ * reduce shuffles. That mirrors the reference's Murmur3-hash vertex
+ * ownership (`/root/reference/cpp/src/detail/graph_utils.cuh:45-52`) —
+ * Spark's `hash()` / HashPartitioning is the same Murmur3-32 family.
+ */
+final case class LinkGraph(
+    edges: DataFrame,
+    directed: Boolean,
+    numPartitions: Int) {
+
+  import LinkGraph._
+
+  def spark: SparkSession = edges.sparkSession
+
+  /** Distinct vertex ids appearing as src or dst. One shuffle. */
+  def vertices: DataFrame =
+    edges.select(col(SRC).as(ID))
+      .union(edges.select(col(DST).as(ID)))
+      .distinct()
+
+  lazy val numVertices: Long = vertices.count()
+  lazy val numEdges: Long = edges.count()
+
+  /**
+   * Undirected view: every edge present in both directions, duplicates
+   * collapsed keeping the minimum weight — the reference's symmetrize
+   * (`/root/reference/python/cugraph/cugraph/structure/symmetrize.py:78-92`,
+   * groupby(src,dst).min()).
+   */
+  def symmetrize: LinkGraph = {
+    val rev = edges.select(
+      col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT))
+    val sym = edges.union(rev)
+      .groupBy(SRC, DST)
+      .agg(min(WEIGHT).as(WEIGHT))
+    LinkGraph(partitioned(sym, numPartitions), directed = false, numPartitions)
+  }
+
+  /** Drop src==dst edges (reference:
+   * `/root/reference/cpp/src/community/triangle_count_impl.cuh:193-226`). */
+  def withoutSelfLoops: LinkGraph =
+    copy(edges = edges.filter(col(SRC) =!= col(DST)))
+
+  /** Collapse multi-edges keeping min weight. */
+  def dedupe: LinkGraph =
+    copy(edges = edges.groupBy(SRC, DST).agg(min(WEIGHT).as(WEIGHT)))
+
+  /** Out-degree per vertex, including zero-degree vertices. */
+  def outDegrees: DataFrame = {
+    val d = edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("out_degree"))
+    vertices.join(d, Seq(ID), "left")
+      .select(col(ID), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
+  }
+
+  /** In-degree per vertex, including zero-degree vertices. */
+  def inDegrees: DataFrame = {
+    val d = edges.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("in_degree"))
+    vertices.join(d, Seq(ID), "left")
+      .select(col(ID), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+  }
+
+  /** Total degree (out + in), including zero-degree vertices. */
+  def degrees: DataFrame =
+    outDegrees.join(inDegrees, Seq(ID))
+      .select(col(ID), (col("out_degree") + col("in_degree")).as("degree"))
+
+  /** Sum of outgoing edge weights per vertex (PageRank denominator;
+   * reference `/root/reference/cpp/src/link_analysis/pagerank_impl.cuh:158-164`).
+   * Vertices with no out-edges get 0.0 (dangling). */
+  def outWeightSums: DataFrame = {
+    val s = edges.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("out_weight"))
+    vertices.join(s, Seq(ID), "left")
+      .select(col(ID), coalesce(col("out_weight"), lit(0.0)).as("out_weight"))
+  }
+
+  def countSelfLoops: Long = edges.filter(col(SRC) === col(DST)).count()
+
+  def countMultiEdges: Long =
+    edges.groupBy(SRC, DST).count().filter(col("count") > 1).count()
+
+  /** Edges restricted to a vertex set (both endpoints) — induced subgraph
+   * (`/root/reference/cpp/src/structure/induced_subgraph_impl.cuh`). */
+  def inducedSubgraph(vertexSet: DataFrame): LinkGraph = {
+    val vs = vertexSet.select(col(vertexSet.columns.head).as(ID))
+    val e = edges
+      .join(vs.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
+      .join(vs.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
+      .select(col(SRC), col(DST), col(WEIGHT))
+    copy(edges = e)
+  }
+
+  /** Hash-partition edges by src and pin them in memory for iterative
+   * algorithms. Returns a graph whose edges side of a state join never
+   * re-shuffles. */
+  def cached(level: StorageLevel = StorageLevel.MEMORY_AND_DISK): LinkGraph = {
+    val e = partitioned(edges, numPartitions).persist(level)
+    copy(edges = e)
+  }
+
+  def unpersist(): Unit = edges.unpersist()
+}
+
+object LinkGraph {
+  // Canonical column names.
+  val SRC = "src"
+  val DST = "dst"
+  val WEIGHT = "weight"
+  val ID = "id"
+
+  /** Hash-repartition a frame on `src` — the standard layout for the
+   * superstep join. Murmur3 hash partitioning, like the reference's
+   * vertex ownership (`graph_utils.cuh:45-52`). */
+  def partitioned(df: DataFrame, n: Int): DataFrame =
+    df.repartition(n, col(SRC))
+
+  /**
+   * Build from any DataFrame by naming src/dst/weight columns; missing
+   * weight defaults to 1.0 (reference:
+   * `/root/reference/cpp/tests/link_analysis/pagerank_test.cpp:88`).
+   */
+  def fromEdges(
+      df: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: Option[String] = None,
+      directed: Boolean = true,
+      numPartitions: Int = 0): LinkGraph = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val w = weightCol
+      .map(c => col(c).cast("double"))
+      .getOrElse(lit(1.0))
+    val e = df.select(
+      col(srcCol).cast("long").as(SRC),
+      col(dstCol).cast("long").as(DST),
+      w.as(WEIGHT))
+    LinkGraph(e, directed, n)
+  }
+}

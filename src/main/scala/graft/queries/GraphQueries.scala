@@ -1,0 +1,336 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.core.LinkGraph
+import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
+
+/**
+ * Graph queries over edge tables DERIVED deterministically from the
+ * driver-provided TPC-H-ish parquet (TESTDATA.md), so every query has a
+ * DuckDB-expressible oracle over the same files:
+ *
+ *  - "chain" graph: part co-purchase pairs from CONSECUTIVE lineitem
+ *    line numbers within an order, symmetrized, deduped (sparse —
+ *    used for the iterative algorithms);
+ *  - "all" graph: all part pairs within an order (dense — used for
+ *    triangle counting and similarity, where triangles must exist).
+ *
+ * The web-corpus pipeline (url pages → extracted link graph) lives in
+ * [[graft.corpus]] / [[graft.extract]]; these derived graphs exist so
+ * the correctness gate can hash-compare against DuckDB on shared input.
+ */
+object GraphQueries {
+
+  private def lineitem(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/lineitem.parquet")
+
+  /** Directed consecutive-line part pairs (u, v, q = a.l_quantity). */
+  private def chainPairs(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("b.l_linenumber") === col("a.l_linenumber") + 1 &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(
+        col("a.l_partkey").cast("long").as("u"),
+        col("b.l_partkey").cast("long").as("v"),
+        col("a.l_quantity").cast("double").as("q"))
+  }
+
+  /** Sparse symmetric unweighted edge table (src, dst, weight=1.0). */
+  def chainEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val p = chainPairs(spark, sfDir)
+    p.select(col("u").as(SRC), col("v").as(DST))
+      .union(p.select(col("v").as(SRC), col("u").as(DST)))
+      .distinct()
+      .withColumn(WEIGHT, lit(1.0))
+  }
+
+  def chainGraph(spark: SparkSession, sfDir: String): LinkGraph =
+    LinkGraph(chainEdges(spark, sfDir), directed = false,
+      spark.sessionState.conf.numShufflePartitions)
+
+  /** Dense symmetric co-occurrence edge table (all pairs per order). */
+  def allEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = lineitem(spark, sfDir).select("l_orderkey", "l_partkey")
+    val a = li.as("a")
+    val b = li.as("b")
+    a.join(b,
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") =!= col("b.l_partkey"))
+      .select(
+        col("a.l_partkey").cast("long").as(SRC),
+        col("b.l_partkey").cast("long").as(DST))
+      .distinct()
+      .withColumn(WEIGHT, lit(1.0))
+  }
+
+  def allGraph(spark: SparkSession, sfDir: String): LinkGraph =
+    LinkGraph(allEdges(spark, sfDir), directed = false,
+      spark.sessionState.conf.numShufflePartitions)
+
+  // ---------------------------------------------------------------- //
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_degrees" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      g.outDegrees.join(g.inDegrees, Seq(ID))
+        .select(col(ID).as("id"), col("out_degree"), col("in_degree"))
+    }),
+
+    "q_pagerank" -> ((s, dir) => {
+      // Fixed 10 power iterations (tol=0 disables early stop) so the
+      // DuckDB recursive-CTE oracle runs the identical computation;
+      // scores exported as integer micro-PageRank to make the hash
+      // compare float-noise-proof.
+      val g = chainGraph(s, dir)
+      val r = PageRank.run(g, PageRank.Config(alpha = 0.85, tol = 0.0,
+        maxIter = 10))
+      r.ranks.select(col(ID),
+        round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro"))
+    }),
+
+    "q_pagerank_top10" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      val r = PageRank.run(g, PageRank.Config(alpha = 0.85, tol = 0.0,
+        maxIter = 10))
+      r.ranks.select(col(ID),
+          round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro"))
+        .orderBy(col("pr_micro").desc, col(ID))
+        .limit(10)
+    }),
+
+    "q_wcc" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      ConnectedComponents.run(g).components
+    }),
+
+    "q_lpa" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      LabelPropagation.run(g, LabelPropagation.Config(maxIter = 5)).labels
+    }),
+
+    "q_triangles" -> ((s, dir) => {
+      TriangleCount.run(allGraph(s, dir))
+    }),
+
+    "q_two_hop" -> ((s, dir) => {
+      val e = chainEdges(s, dir)
+      val e2 = e.select(col(SRC).as("mid"), col(DST).as("dst2"))
+      e.select(col(SRC), col(DST).as("mid"))
+        .join(e2, Seq("mid"))
+        .filter(col(SRC) =!= col("dst2"))
+        .select(col(SRC), col("dst2").as(DST))
+        .distinct()
+    }),
+
+    "q_jaccard" -> ((s, dir) => {
+      // Jaccard over neighbor sets for each chain edge with src < dst
+      // (reference similarity family:
+      //  cpp/src/link_prediction/similarity_impl.cuh). Exported as
+      // integer micro-Jaccard.
+      val e = chainEdges(s, dir)
+      val adj = e.groupBy(col(SRC).as(ID))
+        .agg(sort_array(collect_set(col(DST))).as("nbrs"),
+          count(lit(1)).as("deg"))
+      val aU = adj.select(col(ID).as(SRC), col("nbrs").as("nu"), col("deg").as("du"))
+      val aV = adj.select(col(ID).as(DST), col("nbrs").as("nv"), col("deg").as("dv"))
+      e.filter(col(SRC) < col(DST))
+        .join(aU, Seq(SRC)).join(aV, Seq(DST))
+        .select(col(SRC), col(DST),
+          size(array_intersect(col("nu"), col("nv"))).cast("long").as("inter"),
+          col("du"), col("dv"))
+        .select(col(SRC), col(DST),
+          round(col("inter") * 1e6 / (col("du") + col("dv") - col("inter")), 0)
+            .cast("long").as("jac_micro"))
+    }),
+
+    "q_symmetrize" -> ((s, dir) => {
+      // Directed weighted pairs -> canonical undirected edge list with
+      // min weight (reference symmetrize.py:78-92 groupby-min).
+      val p = chainPairs(s, dir)
+      val directed = p.groupBy(col("u").as(SRC), col("v").as(DST))
+        .agg(min(col("q")).as(WEIGHT))
+      directed
+        .union(directed.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT)))
+        .groupBy(SRC, DST)
+        .agg(min(WEIGHT).as(WEIGHT))
+    }),
+
+    "q_core2" -> ((s, dir) => {
+      // Vertices surviving the 2-core peel of the chain graph.
+      val core = TriangleCount.twoCore(chainGraph(s, dir))
+      core.edges.select(col(SRC).as(ID)).distinct()
+    })
+  )
+
+  // DuckDB-dialect oracle SQL producing identical rows over the same
+  // parquet tables. Shared CTE prefixes:
+  private val CHAIN =
+    """WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_quantity AS q
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |   AND b.l_linenumber = a.l_linenumber + 1
+      |   AND a.l_partkey <> b.l_partkey
+      |), edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT u AS src, v AS dst FROM pairs
+      |    UNION ALL SELECT v AS src, u AS dst FROM pairs
+      |  ) t
+      |)""".stripMargin
+
+  private val DENSE =
+    """WITH edges AS (
+      |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_degrees" -> s"""$CHAIN
+      |SELECT src AS id,
+      |       count(*) AS out_degree,
+      |       count(*) AS in_degree
+      |FROM edges GROUP BY src""".stripMargin,
+
+    "q_pagerank" -> pagerankSql(limit = None),
+    "q_pagerank_top10" -> pagerankSql(limit = Some(10)),
+
+    "q_wcc" -> s"""$CHAIN, verts AS (SELECT DISTINCT src AS v FROM edges),
+      |cc(v, comp) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.v = e.src
+      |  WHERE cc.comp < e.dst
+      |)
+      |SELECT v AS id, min(comp) AS component FROM cc GROUP BY v""".stripMargin
+      .replace("WITH pairs", "WITH RECURSIVE pairs"),
+
+    "q_lpa" -> lpaSql(5),
+
+    "q_triangles" -> s"""$DENSE,
+      |deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+      |o AS (
+      |  SELECT e.src AS u, e.dst AS v FROM edges e
+      |  JOIN deg a ON a.v = e.src JOIN deg b ON b.v = e.dst
+      |  WHERE a.d < b.d OR (a.d = b.d AND e.src < e.dst)
+      |),
+      |tri AS (
+      |  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+      |  FROM o o1 JOIN o o2 ON o1.v = o2.u
+      |  JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v
+      |),
+      |credits AS (
+      |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri
+      |),
+      |cnt AS (SELECT v, count(*) AS c FROM credits GROUP BY v)
+      |SELECT d.v AS id, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
+      |FROM deg d LEFT JOIN cnt c ON d.v = c.v""".stripMargin,
+
+    "q_two_hop" -> s"""$CHAIN
+      |SELECT DISTINCT e1.src AS src, e2.dst AS dst
+      |FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+      |WHERE e1.src <> e2.dst""".stripMargin,
+
+    "q_jaccard" -> s"""$CHAIN,
+      |deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+      |common AS (
+      |  SELECT e.src, e.dst, count(*) AS inter
+      |  FROM edges e
+      |  JOIN edges n1 ON n1.src = e.src
+      |  JOIN edges n2 ON n2.src = e.dst AND n2.dst = n1.dst
+      |  WHERE e.src < e.dst
+      |  GROUP BY e.src, e.dst
+      |)
+      |SELECT e.src, e.dst,
+      |  CAST(round(coalesce(c.inter, 0) * 1e6
+      |       / (a.d + b.d - coalesce(c.inter, 0)), 0) AS BIGINT) AS jac_micro
+      |FROM edges e
+      |JOIN deg a ON a.v = e.src JOIN deg b ON b.v = e.dst
+      |LEFT JOIN common c ON c.src = e.src AND c.dst = e.dst
+      |WHERE e.src < e.dst""".stripMargin,
+
+    "q_symmetrize" -> s"""$CHAIN, directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |)
+      |SELECT src, dst, min(weight) AS weight FROM (
+      |  SELECT src, dst, weight FROM directed
+      |  UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |) t GROUP BY src, dst""".stripMargin
+  )
+
+  /** Fixed-10-iteration PageRank as a DuckDB recursive CTE mirroring
+   * the engine's math exactly (same nw = w/outw normalization, same
+   * dangling/base term), emitted as integer micro-PageRank. */
+  private def pagerankSql(limit: Option[Int]): String = {
+    val tail = limit
+      .map(n => s"ORDER BY pr_micro DESC, id LIMIT $n")
+      .getOrElse("")
+    s"""${CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |nv AS (SELECT count(*) AS n FROM verts),
+      |outw AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS ow
+      |         FROM edges GROUP BY src),
+      |eplus AS (
+      |  SELECT src, dst, 1.0 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |pr(iter, v, p) AS (
+      |  SELECT 0, v, 1.0 / (SELECT n FROM nv) FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst,
+      |         0.85 * contrib +
+      |         (0.85 * sum(dpart) OVER () + 0.15) / (SELECT n FROM nv)
+      |  FROM (
+      |    SELECT max(t.iter) AS iter, e.dst AS dst,
+      |           sum(CASE WHEN e.w > 0 THEN t.p * (e.w / o.ow) ELSE 0 END)
+      |             AS contrib,
+      |           sum(CASE WHEN e.w = 0 AND coalesce(o.ow, 0) = 0
+      |                    THEN t.p ELSE 0 END) AS dpart
+      |    FROM pr t
+      |    JOIN eplus e ON t.v = e.src
+      |    LEFT JOIN outw o ON o.v = t.v
+      |    WHERE t.iter < 10
+      |    GROUP BY e.dst
+      |  ) s
+      |)
+      |SELECT v AS id, CAST(round(p * 1e6, 0) AS BIGINT) AS pr_micro
+      |FROM pr WHERE iter = 10 $tail""".stripMargin
+  }
+
+  /** Fixed-K synchronous LPA (most frequent neighbor label, ties ->
+   * smallest) as a recursive CTE; argmax encoded as
+   * cnt * 2^32 + (2^31 - label) so plain max() is the deterministic
+   * tie-break. */
+  private def lpaSql(k: Int): String =
+    s"""${CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |eplus AS (
+      |  SELECT src, dst, 1 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0 FROM verts
+      |),
+      |lp(iter, v, lbl) AS (
+      |  SELECT 0, v, v FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst,
+      |         2147483647 - (max(score) % 4294967296)
+      |  FROM (
+      |    SELECT t.iter AS iter, e.dst AS dst, t.lbl AS lbl,
+      |           CAST(sum(e.w) AS BIGINT) * 4294967296
+      |             + (2147483647 - t.lbl) AS score
+      |    FROM lp t JOIN eplus e ON t.v = e.src
+      |    WHERE t.iter < $k
+      |    GROUP BY t.iter, e.dst, t.lbl
+      |  ) s
+      |  GROUP BY iter + 1, dst
+      |)
+      |SELECT v AS id, lbl AS label FROM lp WHERE iter = $k""".stripMargin
+}

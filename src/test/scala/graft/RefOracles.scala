@@ -1,0 +1,140 @@
+package graft
+
+import scala.collection.mutable
+
+/**
+ * Driver-side Scala ports of the reference's host (CPU) golden oracles —
+ * these are "the reference's own test outputs" the engine must match:
+ *
+ *  - pagerank:  /root/reference/cpp/tests/link_analysis/pagerank_test.cpp:43-130
+ *  - wcc:       /root/reference/cpp/tests/components/weakly_connected_components_test.cpp:40-70
+ *  - triangles: /root/reference/cpp/tests/community/triangle_count_test.cpp:43-90
+ *  - lpa:       no impl exists in the reference (SURVEY.md §2.j) — pinned
+ *               synchronous LPA, most-frequent neighbor label, tie → smallest.
+ *
+ * All take a directed edge list (undirected graphs = both directions
+ * present) and the vertex universe.
+ */
+object RefOracles {
+
+  type E = (Long, Long, Double)
+
+  /** Pull-model power iteration with dangling redistribution and L1 stop. */
+  def pagerank(
+      edges: Seq[E],
+      vertices: Seq[Long],
+      alpha: Double = 0.85,
+      eps: Double = 1e-6,
+      maxIter: Int = 100): Map[Long, Double] = {
+    val vs = vertices.distinct.sorted
+    val n = vs.size
+    if (n == 0) return Map.empty
+    val outw = mutable.Map[Long, Double]().withDefaultValue(0.0)
+    edges.foreach { case (s, _, w) => outw(s) += w }
+    val in = edges.groupBy(_._2) // dst -> incoming edges
+    var pr = vs.map(v => v -> 1.0 / n).toMap
+    var it = 0
+    var done = false
+    while (!done) {
+      it += 1
+      val danglingSum = vs.iterator.filter(outw(_) == 0.0).map(pr).sum
+      val base = (danglingSum * alpha + (1.0 - alpha)) / n
+      val next = vs.map { v =>
+        val gather = in.getOrElse(v, Nil).iterator
+          .map { case (u, _, w) => alpha * pr(u) * (w / outw(u)) }.sum
+        v -> (gather + base)
+      }.toMap
+      val l1 = vs.iterator.map(v => math.abs(next(v) - pr(v))).sum
+      pr = next
+      done = l1 < eps || it >= maxIter
+    }
+    pr
+  }
+
+  /** BFS flood fill; labels canonicalized to min vertex id per component
+   * (the reference compares labels up to bijection —
+   * weakly_connected_components_test.cpp:178-190 — min-id is our pinned
+   * canonical form). Treats edges as undirected. */
+  def wcc(edges: Seq[E], vertices: Seq[Long]): Map[Long, Long] = {
+    val adj = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+    def add(a: Long, b: Long): Unit =
+      adj.getOrElseUpdate(a, mutable.ArrayBuffer()) += b
+    edges.foreach { case (s, d, _) => add(s, d); add(d, s) }
+    val comp = mutable.Map[Long, Long]()
+    vertices.distinct.sorted.foreach { root =>
+      if (!comp.contains(root)) {
+        val q = mutable.Queue(root)
+        comp(root) = root
+        while (q.nonEmpty) {
+          val v = q.dequeue()
+          adj.getOrElse(v, Nil).foreach { u =>
+            if (!comp.contains(u)) { comp(u) = root; q += u }
+          }
+        }
+      }
+    }
+    comp.toMap
+  }
+
+  /** Exact per-vertex triangle counts over the undirected simple graph
+   * (self-loops and duplicate edges removed first, like the reference's
+   * own preprocessing — triangle_count_impl.cuh:193-226). */
+  def triangles(edges: Seq[E], vertices: Seq[Long]): Map[Long, Long] = {
+    val nbrs = mutable.Map[Long, mutable.Set[Long]]()
+    edges.foreach { case (s, d, _) =>
+      if (s != d) {
+        nbrs.getOrElseUpdate(s, mutable.Set()) += d
+        nbrs.getOrElseUpdate(d, mutable.Set()) += s
+      }
+    }
+    vertices.distinct.map { v =>
+      val nv = nbrs.getOrElse(v, mutable.Set.empty[Long]).toSeq
+      var c = 0L
+      for (i <- nv.indices; j <- (i + 1) until nv.size) {
+        val (a, b) = (nv(i), nv(j))
+        if (nbrs(a).contains(b)) c += 1
+      }
+      v -> c
+    }.toMap
+  }
+
+  /** Synchronous label propagation: every vertex simultaneously adopts
+   * the most frequent label among its (undirected) neighbors, ties
+   * broken toward the smallest label; isolated vertices keep their own.
+   * Stops at fixpoint or maxIter. */
+  def lpa(edges: Seq[E], vertices: Seq[Long], maxIter: Int = 10): Map[Long, Long] = {
+    val adj = mutable.Map[Long, mutable.ArrayBuffer[Long]]()
+    edges.foreach { case (s, d, _) =>
+      if (s != d) {
+        adj.getOrElseUpdate(s, mutable.ArrayBuffer()) += d
+        adj.getOrElseUpdate(d, mutable.ArrayBuffer()) += s
+      }
+    }
+    val vs = vertices.distinct.sorted
+    var lbl = vs.map(v => v -> v).toMap
+    var it = 0
+    var changed = true
+    while (changed && it < maxIter) {
+      it += 1
+      val next = vs.map { v =>
+        val nb = adj.getOrElse(v, Nil)
+        if (nb.isEmpty) v -> lbl(v)
+        else {
+          val freq = nb.groupBy(lbl).map { case (l, xs) => (l, xs.size) }
+          val best = freq.toSeq.minBy { case (l, c) => (-c, l) }._1
+          v -> best
+        }
+      }.toMap
+      changed = next != lbl
+      lbl = next
+    }
+    lbl
+  }
+
+  /** Canonicalize a labeling to min-member-per-class (bijection compare). */
+  def canonicalize(labels: Map[Long, Long]): Map[Long, Long] = {
+    val minOf = labels.toSeq.groupBy(_._2)
+      .map { case (l, vs) => l -> vs.map(_._1).min }
+    labels.map { case (v, l) => v -> minOf(l) }
+  }
+}
