@@ -1,22 +1,26 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.GraphQueries
+import graft.queries.{GraphQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-   * Top-10 vertices by PageRank (reference usage README.md:26-32). */
+   * "Top-10 urls by PageRank over the web corpus" — the reference's own
+   * showcase query (README.md:26-32) over the full pages→extract→
+   * renumber→PageRank pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    GraphQueries.queries("q_pagerank_top10")(spark, "/root/testdata/sf0.001")
+    WebQueries.queries("q_web_pagerank_top10")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GraphQueries.queries
+    GraphQueries.queries ++ WebQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (the
+    * q_web_* pipeline runs on the synthesized corpus → rows-only check;
+    * correctness pinned in sbt test vs reference oracles). */
   def oracleSql: Map[String, String] =
     GraphQueries.oracleSql
 }

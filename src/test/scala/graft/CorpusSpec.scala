@@ -1,0 +1,167 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.algos.PageRank
+import graft.corpus.{PagesCorpus, Rmat}
+import graft.extract.{LinkExtractor, WebGraph}
+
+class RmatSpec extends SparkSpec {
+  test("rmat edges are a pure function of (seed, idx)") {
+    val e1 = Rmat.edges(42L, 8, 4)
+    val e2 = Rmat.edges(42L, 8, 4)
+    assert(e1 == e2)
+    assert(e1 != Rmat.edges(43L, 8, 4))
+    assert(e1.forall { case (s, d) => s >= 0 && s < 256 && d >= 0 && d < 256 })
+  }
+
+  test("rmat is power-law-ish: max degree far exceeds mean") {
+    val es = Rmat.edges(42L, 10, 16)
+    val deg = es.groupBy(_._1).map(_._2.size)
+    assert(deg.max > 10 * (es.size / 1024.0))
+  }
+}
+
+class ExtractorSpec extends SparkSpec {
+
+  test("JVM and Catalyst extraction agree byte-for-byte on corpus html") {
+    val s = spark
+    import s.implicits._
+    val pages = PagesCorpus.pages(spark, seed = 42L, scale = 7, edgeFactor = 8)
+      .toDF()
+    val viaSpark = LinkExtractor.pagesToText(pages)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val local = pages.select("url", "html").collect()
+      .map(r => r.getString(0) ->
+        LinkExtractor.extractText(new String(r.getAs[Array[Byte]](1), "UTF-8")))
+      .toMap
+    assert(viaSpark == local)
+  }
+
+  test("generated text column IS the pinned extraction (invariant)") {
+    val s = spark
+    import s.implicits._
+    val pages = PagesCorpus.pages(spark, seed = 7L, scale = 7, edgeFactor = 8)
+      .toDF()
+    val mismatches = LinkExtractor.pagesToText(pages).as("e")
+      .join(pages.select("url", "text").as("p"), "url")
+      .filter(org.apache.spark.sql.functions.col("e.text") =!=
+        org.apache.spark.sql.functions.col("p.text"))
+      .count()
+    assert(mismatches == 0L)
+  }
+
+  test("extractor is deterministic under arbitrary html (property)") {
+    val htmlGen: Gen[String] = for {
+      n <- Gen.choose(0, 20)
+      parts <- Gen.listOfN(n, Gen.oneOf(
+        Gen.alphaNumStr,
+        Gen.const("<a href=\"https://x.example/1\">x</a>"),
+        Gen.const("<script>bad()</script>"),
+        Gen.const("<style>s{}</style>"),
+        Gen.const("<p>text</p>"),
+        Gen.const("  \n\t "),
+        Gen.const("<div class=\"q\">")))
+    } yield parts.mkString
+    val prop = Prop.forAll(htmlGen) { html =>
+      val t = LinkExtractor.extractText(html)
+      val deterministic = t == LinkExtractor.extractText(html) &&
+        LinkExtractor.extractLinks(html) == LinkExtractor.extractLinks(html)
+      // extraction is idempotent: re-extracting extracted text is a no-op
+      val idempotent = LinkExtractor.extractText(t) == t
+      deterministic && idempotent
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("extracted links reproduce the RMAT edge list exactly (order + dups)") {
+    val pages = PagesCorpus.pages(spark, seed = 42L, scale = 7, edgeFactor = 8)
+      .toDF()
+    val got = LinkExtractor.pagesToEdges(pages)
+      .groupBy("src_url")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = PagesCorpus.edgeUrls(42L, 7, 8)
+      .groupBy(_._1).map { case (u, xs) => u -> xs.size.toLong }
+    assert(got == want)
+  }
+}
+
+class WebGraphPipelineSpec extends SparkSpec {
+
+  test("pages → extract → renumber → pagerank matches oracle on raw RMAT edges") {
+    val seed = 42L; val scale = 7; val ef = 8
+    val pages = PagesCorpus.pages(spark, seed, scale, ef).toDF()
+    val built = WebGraph.fromPages(pages, numPartitions = 4)
+
+    val res = PageRank.run(built.graph, PageRank.Config(tol = 1e-8))
+    assert(res.converged)
+    // map internal ids back to urls, compare against driver oracle over
+    // the ground-truth url edge list (duplicates kept, same weights).
+    val gotByUrl = WebGraph.withUrls(res.ranks, built.urlMap)
+      .select("url", "pagerank").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val urlEdges = PagesCorpus.edgeUrls(seed, scale, ef)
+    val urlIds = urlEdges.flatMap(e => Seq(e._1, e._2)).distinct
+      .sorted.zipWithIndex.map { case (u, i) => u -> i.toLong }.toMap
+    val oracleEdges = urlEdges.map { case (s, d) => (urlIds(s), urlIds(d), 1.0) }
+    val want = RefOracles.pagerank(oracleEdges, urlIds.values.toSeq, 0.85, 1e-8)
+      .map { case (v, p) => urlIds.map(_.swap).apply(v) -> p }
+
+    assert(gotByUrl.keySet == want.keySet)
+    val maxDiff = want.map { case (u, p) => math.abs(gotByUrl(u) - p) }.max
+    assert(maxDiff < 1.1e-6, s"max diff $maxDiff")
+  }
+
+  test("renumber assigns dense degree-descending ids, ties by url") {
+    val pages = PagesCorpus.pages(spark, 42L, 7, 8).toDF()
+    val built = WebGraph.fromPages(pages, numPartitions = 4)
+    val rows = built.urlMap.collect()
+      .map(r => (r.getAs[String]("url"), r.getAs[Long]("degree"),
+        r.getAs[Long]("id")))
+    val n = rows.length
+    assert(rows.map(_._3).sorted.toSeq == (0L until n).toSeq) // dense
+    val byId = rows.sortBy(_._3)
+    byId.sliding(2).foreach { case Array((u1, d1, _), (u2, d2, _)) =>
+      assert(d1 > d2 || (d1 == d2 && u1 < u2))
+    case _ => ()
+    }
+  }
+}
+
+class ResumeSpec extends SparkSpec {
+  test("pagerank resumes from checkpoint and matches an uninterrupted run") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+
+    val full = PageRank.run(g, PageRank.Config(tol = 1e-6))
+    assert(full.converged)
+    val want = full.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+    // Phase 1: run only 7 iterations, committing every 3 — simulates a
+    // job killed mid-algorithm (last commit at iter 6).
+    val cm1 = new graft.checkpoint.CheckpointManager(dir, spark)
+    PageRank.run(g, PageRank.Config(tol = 1e-6, maxIter = 7,
+      checkpointEvery = 3, checkpoint = Some(cm1)))
+    assert(cm1.latestIteration("pagerank").contains(6))
+
+    // Phase 2: fresh run with the same checkpoint dir resumes at 7.
+    val cm2 = new graft.checkpoint.CheckpointManager(dir, spark)
+    val resumed = PageRank.run(g, PageRank.Config(tol = 1e-6,
+      checkpointEvery = 3, checkpoint = Some(cm2)))
+    assert(resumed.converged)
+    assert(resumed.iterations == full.iterations)
+    val got = resumed.ranks.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == want.keySet)
+    assert(want.forall { case (v, p) => math.abs(got(v) - p) < 1e-12 })
+
+    // Manifest carries metrics + per-partition lineage.
+    val manifest = cm2.manifestJson("pagerank", 6)
+    assert(manifest.contains("l1_diff") && manifest.contains("partitions"))
+  }
+}
