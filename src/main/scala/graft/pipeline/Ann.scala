@@ -1,0 +1,129 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.corpus.Rmat
+
+/**
+ * Similarity search over an embedding column (array<float>).
+ *
+ * Two paths:
+ *   - [[cosineTopK]]: exact brute-force top-k — the correctness
+ *     baseline. O(|Q|·N) similarity evaluations; fine when the query
+ *     set is small or as the final re-rank stage.
+ *   - [[lshCosineTopK]]: the scale path — signed-random-projection
+ *     (hyperplane) LSH buckets candidates first, so the expensive
+ *     cosine only runs inside buckets. Hyperplanes are a pure function
+ *     of (seed, plane, dim) — no RNG state, reproducible on any
+ *     cluster size.
+ */
+object Ann {
+
+  /** Cosine similarity between two double-array columns (element count
+   * must match). Computed as dot/(sqrt(na)*sqrt(nb)) over codegen'd
+   * higher-order functions — no UDF. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) = aggregate(
+      zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /**
+   * Exact top-k cosine neighbors for each query vector.
+   * queries/corpus: (id, embedding). Returns
+   * (query_id, neighbor_id, cos_micro, rank), rank 1..k, ties broken
+   * by neighbor id ascending for determinism.
+   */
+  def cosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(embCol)).as("qe"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(embCol)).as("ce"))
+    val scored = q.crossJoin(c)
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")) * 1e6, 0).cast("long")
+          .as("cos_micro"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Deterministic hyperplane component for (seed, plane, dim) ∈ {-1,+1}.
+   * Sign-random-projection only needs signs, so ±1 hyperplanes are
+   * standard and keep the bucket key computation integer-only. */
+  private def planeSign(seed: Long, plane: Int, d: Int): Double =
+    if ((Rmat.mix64(seed ^ (plane.toLong << 32) ^ d.toLong) & 1L) == 0L) -1.0
+    else 1.0
+
+  /**
+   * LSH-bucketed approximate top-k: `tables` independent hash tables of
+   * `planes` hyperplanes each; candidates = vectors sharing a bucket in
+   * ANY table; exact cosine re-rank inside candidates. Recall grows
+   * with `tables`, bucket size shrinks with `planes`.
+   */
+  def lshCosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      seed: Long = 42L, tables: Int = 4, planes: Int = 8,
+      dim: Int = 64): DataFrame = {
+
+    def bucketKey(e: Column, table: Int): Column =
+      (0 until planes).map { p =>
+        val proj = (0 until dim).map { d =>
+          element_at(e, d + 1) * lit(planeSign(seed, table * planes + p, d))
+        }.reduce(_ + _)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(embCol)).as("ce"))
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(embCol)).as("qe"))
+
+    val cBuckets = (0 until tables).map { t =>
+      c.select(col("neighbor_id"), col("ce"), lit(t).as("tbl"),
+        bucketKey(col("ce"), t).as("bkt"))
+    }.reduce(_ union _)
+    val qBuckets = (0 until tables).map { t =>
+      q.select(col("query_id"), col("qe"), lit(t).as("tbl"),
+        bucketKey(col("qe"), t).as("bkt"))
+    }.reduce(_ union _)
+
+    val candidates = qBuckets.join(cBuckets, Seq("tbl", "bkt"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qe", "neighbor_id", "ce")
+      .distinct()
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")) * 1e6, 0).cast("long")
+          .as("cos_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
+  /** Near-duplicate pairs by cosine threshold within a blocking column. */
+  def nearDupPairs(
+      emb: DataFrame, idCol: String, embCol: String, blockCol: String,
+      thresholdMicro: Long): DataFrame = {
+    val e = emb.select(col(idCol), asDouble(col(embCol)).as("e"), col(blockCol))
+    val l = e.select(col(idCol).as("a"), col("e").as("ea"), col(blockCol))
+    val r = e.select(col(idCol).as("b"), col("e").as("eb"), col(blockCol))
+    l.join(r, Seq(blockCol))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        round(cosine(col("ea"), col("eb")) * 1e6, 0).cast("long")
+          .as("cos_micro"))
+      .filter(col("cos_micro") >= thresholdMicro)
+  }
+}

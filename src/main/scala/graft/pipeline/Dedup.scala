@@ -1,0 +1,131 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for large-scale training-data pipelines.
+ * All hash material is MD5 (same algorithm in Spark and DuckDB), so
+ * every operator here has an engine-independent oracle; all shapes are
+ * shuffle-lean: shingling explodes locally, signatures reduce with
+ * map-side combine, and candidate generation joins only on
+ * band-bucket keys (never all-pairs).
+ */
+object Dedup {
+
+  /** Exact dedup: canonical_id = min doc id sharing the same text hash.
+   * One groupBy + one co-keyed join; at 100 TB this is the cheapest
+   * possible exact pass (hash-shuffle on a 32-byte key). */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val h = docs.select(col(idCol), md5(col(textCol)).as("__h"))
+    val canon = h.groupBy("__h").agg(min(col(idCol)).as("canonical_id"))
+    h.join(canon, Seq("__h"))
+      .select(col(idCol), col("canonical_id"))
+  }
+
+  /** Character shingles (length `n`, stride `stride`), 1-based starts —
+   * identical to `substr(text, i, n)` over
+   * `generate_series(1, greatest(len-n+1, 1), stride)` in SQL. */
+  def shingles(
+      docs: DataFrame, idCol: String, textCol: String,
+      n: Int = 8, stride: Int = 4): DataFrame =
+    docs.select(col(idCol),
+        explode(sequence(lit(1),
+          greatest(length(col(textCol)) - (n - 1), lit(1)),
+          lit(stride))).as("__i"),
+        col(textCol))
+      .select(col(idCol), col(textCol).substr(col("__i"), lit(n)).as("shingle"))
+
+  /** MinHash signatures: k independent hashes h_k = min over shingles of
+   * md5("k:" ++ shingle). Lexicographic min over hex strings is a valid
+   * min-hash; one groupBy with k min-aggregates (fully map-side
+   * combinable, no extra shuffle per hash). */
+  def minhashSignatures(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, shingleLen: Int = 8, stride: Int = 4): DataFrame = {
+    val sh = shingles(docs, idCol, textCol, shingleLen, stride)
+    val aggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"h$i"))
+    sh.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: hash each band of `rowsPerBand` signature entries to a
+   * bucket key; docs sharing any band bucket become candidate pairs.
+   * The join key is (band, bucket) so the shuffle is by bucket — a
+   * same-bucket skew burst is bounded by bucket size, never all-pairs. */
+  def lshCandidates(
+      sig: DataFrame, idCol: String,
+      bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
+    val bandFrames = (0 until bands).map { b =>
+      val cols = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => col(s"h$i"))
+      sig.select(col(idCol), lit(b).as("band"),
+        md5(concat(cols: _*)).as("bkey"))
+    }
+    val all = bandFrames.reduce(_ union _)
+    val l = all.select(col(idCol).as("a"), col("band"), col("bkey"))
+    val r = all.select(col(idCol).as("b"), col("band"), col("bkey"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"))
+      .distinct()
+  }
+
+  /** N-gram Jaccard similarity for given candidate pairs, over DISTINCT
+   * char n-grams (stride 1). Returns (a, b, jac_micro). */
+  def ngramJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, n: Int = 8): DataFrame = {
+    val grams = shingles(docs, idCol, textCol, n, stride = 1)
+      .distinct()
+    val sizes = grams.groupBy(col(idCol)).agg(count(lit(1)).as("sz"))
+    val ga = grams.select(col(idCol).as("a"), col("shingle"))
+    val gb = grams.select(col(idCol).as("b"), col("shingle"))
+    val inter = pairs.join(ga, Seq("a")).join(gb, Seq("b", "shingle"))
+      .groupBy("a", "b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col(idCol).as("a"), col("sz").as("sa")), Seq("a"))
+      .join(sizes.select(col(idCol).as("b"), col("sz").as("sb")), Seq("b"))
+      .join(inter, Seq("a", "b"), "left")
+      .select(col("a"), col("b"),
+        round(coalesce(col("inter"), lit(0L)) * 1e6 /
+          (col("sa") + col("sb") - coalesce(col("inter"), lit(0L))), 0)
+          .cast("long").as("jac_micro"))
+  }
+
+  /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
+   * token hashes (md5 hex prefix → int). Deterministic and portable —
+   * the SQL oracle reproduces it bit-for-bit. */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol),
+      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+    val h = toks.select(col(idCol),
+      conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("th"))
+    val votes = (0 until 32).map { j =>
+      sum(when(shiftright(col("th"), j).bitwiseAND(lit(1L)) === 1L, 1)
+        .otherwise(-1)).as(s"v$j")
+    }
+    val voted = h.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 32).map { j =>
+      when(col(s"v$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    voted.select(col(idCol), bits.as("simhash"))
+  }
+
+  /** SimHash near-dup pairs within a blocking column (e.g. source):
+   * hamming distance ≤ maxHamming. Blocking bounds the pair blow-up. */
+  def simhashDuplicates(
+      sim: DataFrame, docs: DataFrame, idCol: String, blockCol: String,
+      maxHamming: Int = 6): DataFrame = {
+    val withBlock = sim.join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
+    val l = withBlock.select(col(idCol).as("a"), col("simhash").as("sa"),
+      col(blockCol))
+    val r = withBlock.select(col(idCol).as("b"), col("simhash").as("sb"),
+      col(blockCol))
+    l.join(r, Seq(blockCol))
+      .filter(col("a") < col("b"))
+      .select(col("a"), col("b"),
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+}

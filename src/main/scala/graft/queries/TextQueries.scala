@@ -1,0 +1,284 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+
+/**
+ * Training-data pipeline queries over the shared `documents` and
+ * `embeddings` tables, each with an exact DuckDB oracle (hash material
+ * is MD5 and ratios are exported as integer micros, so results are
+ * engine-independent). Spark-only scale paths (hyperplane-LSH ANN)
+ * get rows-only checks.
+ */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** Consecutive-doc candidate pairs (a, a+1) for pairwise metrics. */
+  private def consecutivePairs(d: DataFrame): DataFrame = {
+    val ids = d.select(col("doc_id"))
+    ids.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+      .join(ids.select(col("doc_id").as("b")), Seq("b"), "left_semi")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_doc_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_tokens" -> ((s, dir) =>
+      TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_quality" -> ((s, dir) =>
+      TextAnalysis.quality(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_langid" -> ((s, dir) =>
+      TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_simhash" -> ((s, dir) =>
+      Dedup.simhash(docs(s, dir), "doc_id", "text")),
+
+    "q_doc_simhash_dups" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.simhashDuplicates(
+        Dedup.simhash(d, "doc_id", "text"), d, "doc_id", "source",
+        maxHamming = 8)
+    }),
+
+    "q_doc_minhash_lsh" -> ((s, dir) =>
+      Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
+        "doc_id")),
+
+    "q_doc_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.ngramJaccard(d, "doc_id", "text", consecutivePairs(d))
+    }),
+
+    "q_embed_cosine_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.cosineTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_embed_near_dup" -> ((s, dir) =>
+      Ann.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label",
+        thresholdMicro = 300000L)),
+
+    // Spark-only scale path (hyperplane LSH): rows-only check; its
+    // recall vs the exact top-k is asserted in AnnSpec.
+    "q_embed_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.lshCosineTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+    }),
+
+    "q_multimodal_decode" -> ((s, dir) =>
+      Multimodal.stubDecode(
+        Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), "doc_id")),
+
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.sampleFrames(
+        Multimodal.stubDecode(
+          Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), "doc_id"),
+        "doc_id", stepS = 5))
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  private val TOK = "regexp_extract_all(text, '\\S+')"
+
+  val oracleSql: Map[String, String] = Map(
+    "q_doc_dedup_exact" ->
+      """SELECT d.doc_id, m.canonical_id
+        |FROM documents d JOIN (
+        |  SELECT md5(text) AS h, min(doc_id) AS canonical_id
+        |  FROM documents GROUP BY 1
+        |) m ON md5(d.text) = m.h""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_doc_tokens" ->
+      s"""SELECT doc_id, CAST(len($TOK) AS BIGINT) AS n_tokens
+         |FROM documents""".stripMargin,
+
+    "q_doc_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len($TOK) AS BIGINT) AS n_tokens,
+         |  CAST(length(text) AS BIGINT) * 1000000
+         |    // greatest(CAST(len($TOK) AS BIGINT), 1) AS mean_tok_len_micro,
+         |  CAST(len(regexp_extract_all(text, '[.,;:!?]')) AS BIGINT) * 1000000
+         |    // greatest(CAST(length(text) AS BIGINT), 1) AS punct_micro,
+         |  CAST(len(regexp_extract_all(text, '[0-9]')) AS BIGINT) * 1000000
+         |    // greatest(CAST(length(text) AS BIGINT), 1) AS digit_micro,
+         |  CAST(len(regexp_extract_all(text,
+         |    '\\b(the|a|an|and|of|to|in|is|it|that)\\b')) AS BIGINT) * 1000000
+         |    // greatest(CAST(len($TOK) AS BIGINT), 1) AS stop_micro
+         |FROM documents""".stripMargin,
+
+    "q_doc_langid" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(und|der|die|das|mit|von|nicht|ist)\b')) AS s_de,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(the|a|and|of|to|in|is|that)\b')) AS s_en,
+        |    len(regexp_extract_all(lower(text),
+        |      '\b(et|le|la|les|des|dans|avec|est)\b')) AS s_fr
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_fr) = 0 THEN 'unk'
+        |       WHEN s_de >= s_en AND s_de >= s_fr THEN 'de'
+        |       WHEN s_en >= s_fr THEN 'en'
+        |       ELSE 'fr' END AS lang_pred
+        |FROM s""".stripMargin,
+
+    "q_doc_simhash" -> simhashSql,
+
+    "q_doc_simhash_dups" ->
+      s"""WITH sim AS ($simhashSql)
+         |SELECT a.doc_id AS a, b.doc_id AS b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM (SELECT s.doc_id, s.simhash, d.source FROM sim s
+         |      JOIN documents d ON s.doc_id = d.doc_id) a
+         |JOIN (SELECT s.doc_id, s.simhash, d.source FROM sim s
+         |      JOIN documents d ON s.doc_id = d.doc_id) b
+         |  ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
+
+    "q_doc_minhash_lsh" -> minhashLshSql,
+
+    "q_doc_ngram_jaccard" ->
+      """WITH pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        |),
+        |grams AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 8) AS g
+        |  FROM documents,
+        |    unnest(generate_series(1, greatest(length(text) - 7, 1), 1)) t(i)
+        |),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT p.a, p.b, count(*) AS inter
+        |  FROM pairs p
+        |  JOIN grams ga ON ga.doc_id = p.a
+        |  JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        |  GROUP BY p.a, p.b
+        |)
+        |SELECT p.a, p.b,
+        |  CAST(round(coalesce(i.inter, 0) * 1e6
+        |    / (sa.sz + sb.sz - coalesce(i.inter, 0)), 0) AS BIGINT)
+        |    AS jac_micro
+        |FROM pairs p
+        |JOIN sizes sa ON sa.doc_id = p.a
+        |JOIN sizes sb ON sb.doc_id = p.b
+        |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b""".stripMargin,
+
+    "q_embed_cosine_topk" ->
+      """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+        |           FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(round(list_cosine_similarity(q.e, c.e) * 1e6, 0) AS BIGINT)
+        |      AS cos_micro
+        |  FROM q JOIN c ON q.vec_id <> c.vec_id
+        |)
+        |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
+
+    "q_embed_near_dup" ->
+      """SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(round(list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) * 1e6, 0) AS BIGINT) AS cos_micro
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(round(list_cosine_similarity(
+        |    CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) * 1e6, 0) AS BIGINT) >= 300000""".stripMargin,
+
+    "q_multimodal_decode" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |       ELSE 'video/mp4' END AS media_type,
+        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  ('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 + 1 AS width,
+        |  ('0x' || substr(md5(text), 7, 6))::BIGINT % 1080 + 1 AS height,
+        |  ('0x' || substr(md5(text), 13, 6))::BIGINT % 600 + 1 AS duration_s,
+        |  md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH dec AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |         ELSE 'video/mp4' END AS media_type,
+        |    ('0x' || substr(md5(text), 13, 6))::BIGINT % 600 + 1 AS duration_s
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(f AS BIGINT) AS frame_ts_s
+        |FROM dec, unnest(generate_series(0, duration_s - 1, 5)) t(f)
+        |WHERE media_type = 'video/mp4'""".stripMargin
+  )
+
+  private lazy val simhashSql: String = {
+    val votes = (0 until 32).map(j =>
+      s"sum(CASE WHEN (th >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS v$j")
+      .mkString(",\n    ")
+    val bits = (0 until 32).map(j =>
+      s"CASE WHEN v$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM (
+       |  SELECT doc_id,
+       |    $votes
+       |  FROM (
+       |    SELECT doc_id,
+       |      ('0x' || substr(md5(tok), 1, 8))::BIGINT AS th
+       |    FROM documents, unnest(regexp_extract_all(text, '\\S+')) t(tok)
+       |  ) h GROUP BY doc_id
+       |) v""".stripMargin
+  }
+
+  private lazy val minhashLshSql: String = {
+    val mins = (0 until 16).map(k =>
+      s"min(md5('$k:' || s)) AS h$k").mkString(",\n    ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (b * 4 until (b + 1) * 4).map(i => s"h$i").mkString("||")
+      if (b == 0) s"SELECT doc_id, 0 AS band, md5($cols) AS bkey FROM sig"
+      else s"UNION ALL SELECT doc_id, $b, md5($cols) FROM sig"
+    }.mkString("\n  ")
+    s"""WITH sh AS (
+       |  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS s
+       |  FROM documents,
+       |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) t(i)
+       |),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $mins
+       |  FROM sh GROUP BY doc_id
+       |),
+       |bands AS (
+       |  $bandRows
+       |)
+       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+  }
+}

@@ -1,0 +1,157 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+
+class DedupSpec extends SparkSpec {
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the quick brown fox jumps over the lazy dog again and again"),
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+      (3L, "completely different content with nothing shared at all here"),
+      (4L, "the quick brown fox jumps over the lazy dog again and agaim"))
+      .toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical texts under min id") {
+    val got = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
+  test("minhash LSH finds near-identical pair, misses unrelated") {
+    val sig = Dedup.minhashSignatures(docs, "doc_id", "text")
+    val pairs = Dedup.lshCandidates(sig, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L))) // identical text => identical sig
+    assert(pairs.contains((0L, 4L)) || pairs.contains((1L, 4L)),
+      "one-char diff should collide in some band")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "unrelated doc must not pair")
+  }
+
+  test("ngram jaccard: identical=1e6, disjoint=0") {
+    val s = spark
+    import s.implicits._
+    val pairs = Seq((0L, 1L), (0L, 3L)).toDF("a", "b")
+    val j = Dedup.ngramJaccard(docs, "doc_id", "text", pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(j((0L, 1L)) == 1000000L)
+    assert(j((0L, 3L)) < 100000L)
+  }
+
+  test("simhash: near-identical texts have small hamming distance") {
+    val sim = Dedup.simhash(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sim(0L), sim(1L)) == 0)
+    assert(ham(sim(0L), sim(4L)) <= 8)
+    assert(ham(sim(0L), sim(3L)) > 8)
+  }
+}
+
+class AnnSpec extends SparkSpec {
+  private lazy val emb =
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+  test("brute-force cosine topk is deterministic and self-consistent") {
+    val q = emb.filter(col("vec_id") < 5)
+    val r1 = Ann.cosineTopK(emb, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    val r2 = Ann.cosineTopK(emb, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(3)) -> r.getLong(1)).toMap
+    assert(r1 == r2)
+    assert(r1.keySet.map(_._1).size == 5)
+  }
+
+  test("LSH ANN reaches >=40% recall@5 vs exact, with fewer candidates") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.cosineTopK(emb, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Ann.lshCosineTopK(emb, q, "vec_id", "embedding", 5,
+      tables = 12, planes = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+}
+
+class TextAnalysisSpec extends SparkSpec {
+  private lazy val docs = {
+    val s = spark
+    import s.implicits._
+    Seq(
+      (0L, "the cat and the dog, in a house."),
+      (1L, "und der hund ist nicht die katze"),
+      (2L, "le chat et la maison dans les bois"),
+      (3L, "zzz qqq 123 456"))
+      .toDF("doc_id", "text")
+  }
+
+  test("token count and quality features") {
+    val q = TextAnalysis.quality(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(q(0L).getAs[Long]("n_tokens") == 8L)
+    assert(q(3L).getAs[Long]("digit_micro") > 0L)
+    assert(q(0L).getAs[Long]("stop_micro") > q(3L).getAs[Long]("stop_micro"))
+  }
+
+  test("langid votes match expected language, unk for gibberish") {
+    val got = TextAnalysis.langId(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "unk"))
+  }
+
+  test("fingerprint collapses case and whitespace") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "Hello   World"), (1L, "hello world"), (2L, "other"))
+      .toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fp(0L) == fp(1L))
+    assert(fp(0L) != fp(2L))
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+
+  test("media plumbing: stable schema, deterministic stub decode") {
+    val media = Multimodal.asMediaTable(docs, "doc_id", "text")
+    val dec = Multimodal.stubDecode(media, "doc_id")
+    assert(dec.columns.toSeq == Seq("doc_id", "media_type", "n_bytes",
+      "width", "height", "duration_s", "content_hash"))
+    val rows = dec.collect()
+    assert(rows.forall { r =>
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      w >= 1 && w <= 1920 && h >= 1 && h <= 1080
+    })
+    // deterministic across runs
+    val again = Multimodal.stubDecode(media, "doc_id").collect()
+    assert(rows.map(_.toString).sorted.toSeq ==
+      again.map(_.toString).sorted.toSeq)
+  }
+
+  test("frame sampling only videos, within duration") {
+    val dec = Multimodal.stubDecode(
+      Multimodal.asMediaTable(docs, "doc_id", "text"), "doc_id")
+    val frames = Multimodal.sampleFrames(dec, "doc_id", stepS = 5)
+    val joined = frames.join(dec, Seq("doc_id"))
+    assert(joined.filter(col("media_type") =!= "video/mp4").count() == 0L)
+    assert(joined.filter(col("frame_ts_s") >= col("duration_s")).count() == 0L)
+  }
+
+  test("stub features have requested dimension") {
+    val dec = Multimodal.stubDecode(
+      Multimodal.asMediaTable(docs, "doc_id", "text"), "doc_id")
+    val f = Multimodal.stubFeatures(dec, "doc_id", d = 8)
+    assert(f.select(size(col("features"))).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(8))
+  }
+}
