@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+import graft.algos.PageRank
+import graft.core.LinkGraph
+
+/** Ad-hoc performance probe: per-iteration PageRank timings on a cached
+ * RMAT edge table. Usage: runMain graft.Probe <cpus> <scale> [partsMult]. */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val scale = args(1).toInt
+    val mult = args.lift(2).map(_.toInt).getOrElse(1)
+    val parts = cpus * mult
+    val path = s"/tmp/graft-probe-edges-s$scale"
+
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(path))) {
+      val s = Bench.newSession("32")
+      import s.implicits._
+      s.range((1L << scale) * 16)
+        .map(i => graft.corpus.Rmat.edge(42L, i, scale))
+        .toDF("src", "dst").write.mode("overwrite").parquet(path)
+      s.stop()
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+    }
+
+    val s = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", parts)
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+      .config("spark.sql.adaptive.coalescePartitions.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_COALESCE", "false"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+
+    val g = LinkGraph.fromEdges(s.read.parquet(path), "src", "dst",
+      numPartitions = parts).cached()
+    val e = g.numEdges
+    val t0 = System.nanoTime()
+    val r = PageRank.run(g, PageRank.Config(verbose = true))
+    println(f"[probe] run-returned ${(System.nanoTime() - t0) / 1e9}%.2f")
+    r.ranks.count()
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] cpus=$cpus parts=$parts scale=$scale edges=$e " +
+      f"iters=${r.iterations} sec=$sec%.2f " +
+      f"gteps=${r.iterations * e / sec / 1e9}%.6f")
+    s.stop()
+  }
+}

@@ -1,0 +1,78 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, ID, SRC}
+
+/**
+ * Breadth-first search: hop distances + predecessors from a set of
+ * sources (reference contract `/root/reference/cpp/include/cugraph/algorithms.hpp:475`,
+ * frontier expansion like `/root/reference/cpp/src/traversal/bfs_impl.cuh`).
+ * Unreached vertices are absent from the result (the reference marks
+ * them with invalid distance/vertex sentinels). Predecessor ties are
+ * broken toward the SMALLEST predecessor id — the reference leaves
+ * tie order unspecified; we pin it for reproducibility.
+ *
+ * Per level: frontier ⋈ edges (co-partitioned), min-reduce by dst,
+ * left-anti against visited — the textbook Pregel BFS.
+ */
+object Bfs {
+
+  final case class Config(maxDepth: Int = Int.MaxValue)
+
+  /** Returns (id, distance, predecessor); sources have distance 0 and
+   * predecessor = themselves. */
+  def run(g0: LinkGraph, sources: Seq[Long], cfg: Config = Config()): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val spark = g.spark
+    import spark.implicits._
+    val p = g.numPartitions
+
+    val edges = g.edges.select(SRC, DST)
+
+    var visited = Lineage.materialize(
+      sources.map(s => (s, 0L, s)).toDF(ID, "distance", "predecessor")
+        .repartition(p, col(ID)),
+      eager = false)
+    var frontier = visited
+    var depth = 0L
+    var frontierSize = frontier.df.count()
+
+    val levels = scala.collection.mutable.ArrayBuffer[Lineage.Handle](visited)
+    while (frontierSize > 0 && depth < cfg.maxDepth) {
+      depth += 1
+      val nextFrontier = Lineage.materialize(
+        edges
+          .join(frontier.df.select(col(ID)).hint("shuffle_hash"),
+            edges(SRC) === col(ID))
+          .select(col(DST), edges(SRC).as("pred"))
+          .groupBy(DST).agg(min("pred").as("predecessor"))
+          .join(visited.df.select(col(ID)).withColumnRenamed(ID, DST),
+            Seq(DST), "left_anti")
+          .select(col(DST).as(ID), lit(depth).as("distance"),
+            col("predecessor"))
+          .repartition(p, col(ID)),
+        eager = false)
+      frontierSize = nextFrontier.df.count()
+      if (frontierSize > 0) {
+        val newVisited = Lineage.materialize(
+          visited.df.union(nextFrontier.df), eager = false)
+        levels += nextFrontier
+        levels += newVisited
+        visited = newVisited
+        frontier = nextFrontier
+      } else {
+        nextFrontier.release()
+      }
+    }
+
+    val out = Lineage.materialize(visited.df)
+    levels.foreach(_.release())
+    if (!callerCached) g.unpersist()
+    out.df
+  }
+}

@@ -45,13 +45,17 @@ object ConnectedComponents {
   private val COMP = "component"
   private val CHANGED = "changed"
 
-  def run(g: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+    // One upfront cache of the edge table; vertices + the superstep
+    // joins all read it (an uncached upstream plan would re-run per use).
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
-    val edges = g.edges.select(SRC, DST)
-      .repartition(p, col(SRC))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.edges
 
-    val init = g.vertices
+    // Undirected input means every vertex occurs as src — no need for
+    // the 2x-wide src∪dst distinct.
+    val init = g.edges.select(col(SRC).as(ID)).distinct()
       .select(col(ID), col(ID).as(COMP), lit(true).as(CHANGED))
       .repartition(p, col(ID))
 
@@ -59,7 +63,7 @@ object ConnectedComponents {
       .flatMap(cm => cm.latestIteration(cfg.algoName).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
-    var state = Lineage.materialize(resume.map(_._2).getOrElse(init))
+    var state = Lineage.materialize(resume.map(_._2).getOrElse(init), eager = false)
     var iter = resume.map(_._1).getOrElse(0)
     var active = 1L
     var converged = false
@@ -79,7 +83,8 @@ object ConnectedComponents {
           .select(
             state.df(ID),
             least(state.df(COMP), coalesce(col("m"), state.df(COMP))).as(COMP),
-            (coalesce(col("m"), lit(Long.MaxValue)) < state.df(COMP)).as(CHANGED)))
+            (coalesce(col("m"), lit(Long.MaxValue)) < state.df(COMP)).as(CHANGED)),
+        eager = false)
 
       active = next.df.filter(col(CHANGED)).count()
       converged = active == 0L
@@ -94,7 +99,7 @@ object ConnectedComponents {
       state = next
     }
 
-    edges.unpersist()
+    if (!callerCached) g.unpersist()
     Result(state.df.select(col(ID), col(COMP)), iter, converged)
   }
 

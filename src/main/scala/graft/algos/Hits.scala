@@ -1,0 +1,116 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, ID, SRC}
+
+/**
+ * HITS hubs/authorities, reference semantics
+ * (`/root/reference/cpp/src/link_analysis/hits_impl.cuh:57-214`):
+ * init hubs = 1/V; per iteration (weights IGNORED, as in the
+ * reference's lambdas):
+ *   auth(v) = SUM over incoming u->v of hub(u)
+ *   hub(u)  = SUM over outgoing u->v of auth(v)
+ *   hub /= max(hub); auth /= max(auth)
+ *   stop when L1(hub - prevHub) < epsilon (checked after normalize)
+ * optional final division of both by their sums.
+ *
+ * Physical: TWO cached edge layouts — forward partitioned by src for
+ * the auth gather, reversed partitioned by dst for the hub gather —
+ * the analog of the reference storing the transposed graph; both
+ * superstep joins stay co-partitioned.
+ */
+object Hits {
+
+  final case class Config(
+      tol: Double = 1e-5,
+      maxIter: Int = 100,
+      normalize: Boolean = true)
+
+  final case class Result(scores: DataFrame, iterations: Int, converged: Boolean)
+
+  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val p = g.numPartitions
+
+    val fwd = g.edges.select(SRC, DST)
+    val rev = g.edges.select(col(DST).as(SRC), col(SRC).as(DST))
+      .repartition(p, col(SRC))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val verts = Lineage.materialize(
+      g.outWeightSums.select(col(ID)).repartition(p, col(ID)), eager = false)
+    val v = verts.df.count()
+    if (v == 0) {
+      verts.release(); rev.unpersist()
+      if (!callerCached) g.unpersist()
+      return Result(g.spark.emptyDataFrame, 0, converged = true)
+    }
+
+    // State: (id, hub, auth)
+    var state = Lineage.materialize(
+      verts.df.select(col(ID), lit(1.0 / v).as("hub"), lit(0.0).as("auth")),
+      eager = false)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < cfg.maxIter) {
+      iter += 1
+      // auth_raw(v) = sum of hub(u) over in-edges
+      val authRaw = fwd
+        .join(state.df.select(col(ID), col("hub")).hint("shuffle_hash"),
+          fwd(SRC) === col(ID))
+        .select(col(DST).as(ID), col("hub").as("m"))
+        .groupBy(ID).agg(sum("m").as("auth_raw"))
+      // hub_raw(u) = sum of auth_raw(v) over out-edges (gather via rev)
+      val hubRaw = rev
+        .join(authRaw.hint("shuffle_hash"), rev(DST) === authRaw(ID))
+        .select(rev(SRC).as(ID), col("auth_raw").as("m"))
+        .groupBy(ID).agg(sum("m").as("hub_raw"))
+
+      val joined = Lineage.materialize(
+        state.df
+          .join(authRaw.withColumnRenamed(ID, "va").hint("shuffle_hash"),
+            state.df(ID) === col("va"), "left")
+          .join(hubRaw.withColumnRenamed(ID, "vh").hint("shuffle_hash"),
+            state.df(ID) === col("vh"), "left")
+          .select(state.df(ID),
+            coalesce(col("hub_raw"), lit(0.0)).as("hub_raw"),
+            coalesce(col("auth_raw"), lit(0.0)).as("auth_raw"),
+            state.df("hub").as("prev_hub")),
+        eager = false)
+
+      val m = joined.df.agg(max("hub_raw"), max("auth_raw")).head()
+      val (hubMax, authMax) = (m.getDouble(0), m.getDouble(1))
+
+      val next = Lineage.materialize(
+        joined.df.select(col(ID),
+          (col("hub_raw") / hubMax).as("hub"),
+          (col("auth_raw") / authMax).as("auth"),
+          col("prev_hub")),
+        eager = false)
+      val l1 = next.df.agg(sum(abs(col("hub") - col("prev_hub"))))
+        .head().getDouble(0)
+      converged = l1 < cfg.tol
+      joined.release()
+      state.release()
+      state = next
+    }
+
+    val out =
+      if (cfg.normalize) {
+        val s = state.df.agg(sum("hub"), sum("auth")).head()
+        state.df.select(col(ID),
+          (col("hub") / s.getDouble(0)).as("hub"),
+          (col("auth") / s.getDouble(1)).as("auth"))
+      } else state.df.select(col(ID), col("hub"), col("auth"))
+
+    verts.release()
+    rev.unpersist()
+    if (!callerCached) g.unpersist()
+    Result(out, iter, converged)
+  }
+}

@@ -47,13 +47,14 @@ object LabelPropagation {
 
   private val LBL = "label"
 
-  def run(g: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
-    val edges = g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST))
-      .repartition(p, col(SRC))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edges = g.edges.filter(col(SRC) =!= col(DST))
 
-    val init = g.vertices
+    // Undirected input: every vertex occurs as src.
+    val init = g.edges.select(col(SRC).as(ID)).distinct()
       .select(col(ID), col(ID).as(LBL))
       .repartition(p, col(ID))
 
@@ -61,7 +62,7 @@ object LabelPropagation {
       .flatMap(cm => cm.latestIteration(cfg.algoName).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
-    var state = Lineage.materialize(resume.map(_._2).getOrElse(init))
+    var state = Lineage.materialize(resume.map(_._2).getOrElse(init), eager = false)
     var iter = resume.map(_._1).getOrElse(0)
     var converged = false
 
@@ -84,7 +85,8 @@ object LabelPropagation {
             state.df(ID),
             coalesce(col("new_lbl"), state.df(LBL)).as(LBL),
             (coalesce(col("new_lbl"), state.df(LBL)) =!= state.df(LBL))
-              .as("chg")))
+              .as("chg")),
+        eager = false)
 
       val changed = next.df.filter(col("chg")).count()
       converged = changed == 0L
@@ -99,7 +101,7 @@ object LabelPropagation {
       state = next
     }
 
-    edges.unpersist()
+    if (!callerCached) g.unpersist()
     Result(state.df.select(col(ID), col(LBL)), iter, converged)
   }
 }

@@ -47,7 +47,8 @@ object PageRank {
       maxIter: Int = 100,
       checkpointEvery: Int = 10,
       checkpoint: Option[CheckpointManager] = None,
-      algoName: String = "pagerank")
+      algoName: String = "pagerank",
+      verbose: Boolean = false)
 
   final case class Result(
       ranks: DataFrame, // columns: id, pagerank
@@ -59,63 +60,100 @@ object PageRank {
   private val OLD = "old_pr"
   private val DANG = "dangling"
 
-  def run(g: LinkGraph, cfg: Config = Config()): Result = {
-    val v = g.numVertices
-    if (v == 0L) {
-      return Result(g.spark.emptyDataFrame, 0, converged = true, 0.0)
-    }
+  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+    // Cache the edge table up front: vertex set, counts, out-weights and
+    // normalized edges all derive from it — without this, an expensive
+    // upstream plan (e.g. corpus extraction) would re-run per use.
+    // Respect a caller-managed cache (don't re-layout or drop it).
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
 
+    // One-pass out-weight table (id, out_weight) for EVERY vertex; its
+    // count is V — no separate distinct-vertices pass. Hash-partitioned
+    // by id: the state layout, and (via the renamed src join below)
+    // co-partitioned with the cached edge table.
+    val tSetup = System.nanoTime()
+    def lap(tag: String): Unit = if (cfg.verbose) {
+      println(f"[pagerank] setup:$tag ${(System.nanoTime() - tSetup) / 1e9}%.2f")
+    }
+    val ows = Lineage.materialize(
+      g.outWeightSums.repartition(p, col(ID)), eager = false)
+    val v = ows.df.count()
+    lap("ows")
+    if (v == 0L) {
+      ows.release()
+      if (!callerCached) g.unpersist()
+      return Result(g.spark.emptyDataFrame, 0, converged = true, 0.0)
+    }
+
     // Pre-normalized edges: (src, dst, nw = w / outw(src)); any vertex
-    // appearing as src has outw > 0. Partitioned by src, cached for the
-    // whole run — its plan is static, so a DataFrame persist is fine.
-    val ows = g.outWeightSums
+    // appearing as src has outw > 0. The join is co-partitioned on src,
+    // and its output KEEPS that partitioning — no explicit repartition,
+    // so building normEdges shuffles nothing beyond the ows aggregate.
     val normEdges = g.edges
-      .join(ows.withColumnRenamed(ID, SRC), Seq(SRC))
+      .join(ows.df.withColumnRenamed(ID, SRC), Seq(SRC))
       .select(col(SRC), col(DST), (col(WEIGHT) / col("out_weight")).as("nw"))
-      .repartition(p, col(SRC))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // State: (id, pr, old_pr, dangling), hash-partitioned by id (same
-    // Murmur3 family as the edge layout -> co-partitioned joins).
-    val init = ows
+    // State: (id, pr, old_pr, dangling) derives from ows in place.
+    val init = ows.df
       .select(col(ID), lit(1.0 / v).as(PR), lit(0.0).as(OLD),
         (col("out_weight") === 0.0).as(DANG))
-      .repartition(p, col(ID))
 
     // Resume from the latest committed superstep, if any.
     val resume = cfg.checkpoint
       .flatMap(cm => cm.latestIteration(cfg.algoName).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
-    var state = Lineage.materialize(resume.map(_._2).getOrElse(init))
+    var state = Lineage.materialize(resume.map(_._2).getOrElse(init), eager = false)
     var iter = resume.map(_._1).getOrElse(0)
     var danglingSum = scalars(state.df)(0)
+    lap("init-state")
 
     var l1 = Double.MaxValue
     var converged = false
     while (!converged && iter < cfg.maxIter) {
       iter += 1
+      val tIter = System.nanoTime()
       val base = (danglingSum * cfg.alpha + (1.0 - cfg.alpha)) / v
 
+      // shuffle_hash hints: without them Catalyst picks sort-merge and
+      // re-SORTS the (cached, unsorted) edge table every superstep —
+      // bandwidth-bound and the dominant iteration cost. Hash-building
+      // the per-partition slice of the small state side streams the
+      // edges unsorted; unlike a broadcast this stays valid when V is
+      // huge, because the build is per co-partition, not per task.
       val msgs = normEdges
-        .join(state.df.select(col(ID), col(PR)), normEdges(SRC) === col(ID))
+        .join(state.df.select(col(ID), col(PR)).hint("shuffle_hash"),
+          normEdges(SRC) === col(ID))
         .select(col(DST), (col(PR) * col("nw")).as("m"))
         .groupBy(DST)
         .agg(sum("m").as("m"))
 
       val next = Lineage.materialize(
-        state.df.join(msgs, state.df(ID) === msgs(DST), "left")
+        state.df.join(msgs.hint("shuffle_hash"), state.df(ID) === msgs(DST), "left")
           .select(
             state.df(ID),
             (lit(cfg.alpha) * coalesce(col("m"), lit(0.0)) + lit(base)).as(PR),
             state.df(PR).as(OLD),
-            state.df(DANG)))
+            state.df(DANG)),
+        eager = false)
 
+      val tAgg = System.nanoTime()
       val Array(dSum, l1Now) = scalars(next.df)
       danglingSum = dSum
       l1 = l1Now
       converged = l1 < cfg.tol
+      if (cfg.verbose) {
+        val gc = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.stream()
+          .mapToLong(_.getCollectionTime).sum()
+        val tNow = System.nanoTime()
+        println(f"[pagerank] iter=$iter%d total=${(tNow - tIter) / 1e9}%.2f " +
+          f"plan=${(tAgg - tIter) / 1e9}%.2f agg=${(tNow - tAgg) / 1e9}%.2f " +
+          f"l1=$l1%.2e gc_cum_ms=$gc%d")
+      }
 
       cfg.checkpoint.foreach { cm =>
         if (converged || iter % cfg.checkpointEvery == 0) {
@@ -129,7 +167,11 @@ object PageRank {
       state = next
     }
 
+    lap("loop-done")
     normEdges.unpersist()
+    ows.release()
+    if (!callerCached) g.unpersist()
+    lap("unpersist-done")
     val ranks = state.df.select(col(ID), col(PR).as("pagerank"))
     Result(ranks, iter, converged, l1)
   }

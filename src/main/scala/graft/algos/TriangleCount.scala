@@ -32,7 +32,9 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  */
 object TriangleCount {
 
-  def run(g: LinkGraph): DataFrame = {
+  def run(g0: LinkGraph): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
     val simple = g.withoutSelfLoops.dedupe
 
@@ -79,10 +81,13 @@ object TriangleCount {
         .select(explode(col("tri")).as(ID), lit(1L).as("c")))
     val counts = credits.groupBy(ID).agg(sum("c").as("triangles"))
 
-    val out = g.vertices.join(counts, Seq(ID), "left")
-      .select(col(ID), coalesce(col("triangles"), lit(0L)).as("triangles"))
-
-    out
+    val out = graft.core.Lineage.materialize(
+      g.vertices.join(counts, Seq(ID), "left")
+        .select(col(ID), coalesce(col("triangles"), lit(0L)).as("triangles")))
+    withInter.unpersist()
+    adj.unpersist()
+    if (!callerCached) g.unpersist()
+    out.df
   }
 
   /** Total triangle count = sum(per-vertex) / 3. */
@@ -96,7 +101,7 @@ object TriangleCount {
    * the induced subgraph on the 2-core.
    */
   def twoCore(g: LinkGraph, maxIter: Int = 100): LinkGraph = {
-    var cur = graft.core.Lineage.materialize(g.edges)
+    var cur = graft.core.Lineage.materialize(g.edges, eager = false)
     var n = cur.df.count()
     var changed = true
     var it = 0
@@ -108,7 +113,7 @@ object TriangleCount {
       val pruned = cur.df
         .join(keep.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
         .join(keep.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
-      val next = graft.core.Lineage.materialize(pruned)
+      val next = graft.core.Lineage.materialize(pruned, eager = false)
       val m = next.df.count()
       changed = m < n
       n = m

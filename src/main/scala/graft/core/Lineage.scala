@@ -29,11 +29,14 @@ object Lineage {
     def release(): Unit = { rdd.unpersist(blocking = false); () }
   }
 
-  /** Eagerly compute + cache `df`; return a plan-truncated equivalent. */
+  /** Compute + cache `df`; return a plan-truncated equivalent. With
+   * `eager = false` the first downstream action (e.g. the superstep's
+   * scalar agg) materializes the cache, saving one job per iteration. */
   def materialize(
       df: DataFrame,
-      level: StorageLevel = StorageLevel.MEMORY_AND_DISK): Handle = {
-    val (out, rdd) = SqlInternals.truncate(df, level)
+      level: StorageLevel = StorageLevel.MEMORY_AND_DISK,
+      eager: Boolean = true): Handle = {
+    val (out, rdd) = SqlInternals.truncate(df, level, eager)
     Handle(out, rdd)
   }
 }

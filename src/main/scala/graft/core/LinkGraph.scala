@@ -63,33 +63,37 @@ final case class LinkGraph(
   def dedupe: LinkGraph =
     copy(edges = edges.groupBy(SRC, DST).agg(min(WEIGHT).as(WEIGHT)))
 
-  /** Out-degree per vertex, including zero-degree vertices. */
-  def outDegrees: DataFrame = {
-    val d = edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("out_degree"))
-    vertices.join(d, Seq(ID), "left")
-      .select(col(ID), coalesce(col("out_degree"), lit(0L)).as("out_degree"))
-  }
+  /** (id, out_degree, in_degree) for EVERY vertex in one aggregation —
+   * each edge contributes (src, 1, 0) and (dst, 0, 1), so zero-degree
+   * roles appear without a distinct-vertices + outer-join round trip
+   * (that plan shuffles the vertex-mention stream twice; this shuffles
+   * it once with map-side combine). */
+  def degreeTable: DataFrame =
+    edges.select(col(SRC).as(ID), lit(1L).as("o"), lit(0L).as("i"))
+      .union(edges.select(col(DST).as(ID), lit(0L).as("o"), lit(1L).as("i")))
+      .groupBy(ID)
+      .agg(sum("o").as("out_degree"), sum("i").as("in_degree"))
 
-  /** In-degree per vertex, including zero-degree vertices. */
-  def inDegrees: DataFrame = {
-    val d = edges.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("in_degree"))
-    vertices.join(d, Seq(ID), "left")
-      .select(col(ID), coalesce(col("in_degree"), lit(0L)).as("in_degree"))
-  }
+  /** Out-degree per vertex, including zero-out-degree vertices. */
+  def outDegrees: DataFrame = degreeTable.select(ID, "out_degree")
 
-  /** Total degree (out + in), including zero-degree vertices. */
+  /** In-degree per vertex, including zero-in-degree vertices. */
+  def inDegrees: DataFrame = degreeTable.select(ID, "in_degree")
+
+  /** Total degree (out + in). */
   def degrees: DataFrame =
-    outDegrees.join(inDegrees, Seq(ID))
-      .select(col(ID), (col("out_degree") + col("in_degree")).as("degree"))
+    degreeTable.select(col(ID),
+      (col("out_degree") + col("in_degree")).as("degree"))
 
   /** Sum of outgoing edge weights per vertex (PageRank denominator;
    * reference `/root/reference/cpp/src/link_analysis/pagerank_impl.cuh:158-164`).
-   * Vertices with no out-edges get 0.0 (dangling). */
-  def outWeightSums: DataFrame = {
-    val s = edges.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("out_weight"))
-    vertices.join(s, Seq(ID), "left")
-      .select(col(ID), coalesce(col("out_weight"), lit(0.0)).as("out_weight"))
-  }
+   * Vertices with no out-edges get 0.0 (dangling). Same single-pass
+   * union-aggregate shape as [[degreeTable]]. */
+  def outWeightSums: DataFrame =
+    edges.select(col(SRC).as(ID), col(WEIGHT).as("w"))
+      .union(edges.select(col(DST).as(ID), lit(0.0).as("w")))
+      .groupBy(ID)
+      .agg(sum("w").as("out_weight"))
 
   def countSelfLoops: Long = edges.filter(col(SRC) === col(DST)).count()
 

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{ConnectedComponents, LabelPropagation, PageRank, TriangleCount}
+import graft.algos.{Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, PageRank, Similarity, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 
@@ -78,11 +78,9 @@ object GraphQueries {
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q_degrees" -> ((s, dir) => {
-      val g = chainGraph(s, dir)
-      g.outDegrees.join(g.inDegrees, Seq(ID))
-        .select(col(ID).as("id"), col("out_degree"), col("in_degree"))
-    }),
+    "q_degrees" -> ((s, dir) =>
+      chainGraph(s, dir).degreeTable
+        .select(col(ID), col("out_degree"), col("in_degree"))),
 
     "q_pagerank" -> ((s, dir) => {
       // Fixed 10 power iterations (tol=0 disables early stop) so the
@@ -167,6 +165,78 @@ object GraphQueries {
       // Vertices surviving the 2-core peel of the chain graph.
       val core = TriangleCount.twoCore(chainGraph(s, dir))
       core.edges.select(col(SRC).as(ID)).distinct()
+    }),
+
+    "q_katz" -> ((s, dir) => {
+      // Fixed 8 iterations (tol=0), alpha=0.01 beta=1, L2-normalized.
+      val r = Katz.run(chainGraph(s, dir),
+        Katz.Config(alpha = 0.01, beta = 1.0, tol = 0.0, maxIter = 8))
+      r.centralities.select(col(ID),
+        round(col("katz") * 1e6, 0).cast("long").as("katz_micro"))
+    }),
+
+    "q_eigenvector" -> ((s, dir) => {
+      val r = Eigenvector.run(chainGraph(s, dir),
+        Eigenvector.Config(tol = 0.0, maxIter = 8))
+      r.centralities.select(col(ID),
+        round(col("eigenvector") * 1e6, 0).cast("long").as("eig_micro"))
+    }),
+
+    "q_hits" -> ((s, dir) => {
+      val r = Hits.run(chainGraph(s, dir),
+        Hits.Config(tol = 0.0, maxIter = 5))
+      r.scores.select(col(ID),
+        round(col("hub") * 1e6, 0).cast("long").as("hub_micro"),
+        round(col("auth") * 1e6, 0).cast("long").as("auth_micro"))
+    }),
+
+    "q_bfs" -> ((s, dir) => {
+      val g = chainGraph(s, dir)
+      val root = g.edges.agg(min(col(SRC))).head().getLong(0)
+      Bfs.run(g, Seq(root))
+    }),
+
+    "q_core_number" -> ((s, dir) =>
+      CoreNumber.run(chainGraph(s, dir))),
+
+    "q_coarsen" -> ((s, dir) => {
+      // Contract the weighted symmetrized chain graph by label=id%10.
+      val p = chainPairs(s, dir)
+      val directed = p.groupBy(col("u").as(SRC), col("v").as(DST))
+        .agg(min(col("q")).as(WEIGHT))
+      val sym = directed
+        .union(directed.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT)))
+        .groupBy(SRC, DST).agg(min(WEIGHT).as(WEIGHT))
+      val g = LinkGraph(sym, directed = false,
+        s.sessionState.conf.numShufflePartitions)
+      val labels = sym.select(col(SRC).as(ID)).distinct()
+        .select(col(ID), pmod(col(ID), lit(10L)).as("label"))
+      Coarsen.run(g, labels).edges
+    }),
+
+    "q_sorensen" -> ((s, dir) => {
+      Similarity.run(chainGraph(s, dir), Similarity.Sorensen)
+        .select(col(SRC), col(DST),
+          round(col("sorensen") * 1e6, 0).cast("long").as("sor_micro"))
+    }),
+
+    "q_overlap" -> ((s, dir) => {
+      Similarity.run(chainGraph(s, dir), Similarity.Overlap)
+        .select(col(SRC), col(DST),
+          round(col("overlap") * 1e6, 0).cast("long").as("ovl_micro"))
+    }),
+
+    "q_egonet" -> ((s, dir) => {
+      // Radius-1 egonet of the 3 smallest vertices (induced subgraph,
+      // reference extract_ego / induced_subgraph).
+      val g = chainGraph(s, dir)
+      val seeds = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(3)
+      val ego = seeds
+        .union(g.edges.join(seeds.withColumnRenamed(ID, SRC), Seq(SRC),
+          "left_semi").select(col(DST).as(ID)))
+        .distinct()
+      g.inducedSubgraph(ego).edges.select(SRC, DST)
     })
   )
 
@@ -264,8 +334,163 @@ object GraphQueries {
       |SELECT src, dst, min(weight) AS weight FROM (
       |  SELECT src, dst, weight FROM directed
       |  UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
-      |) t GROUP BY src, dst""".stripMargin
+      |) t GROUP BY src, dst""".stripMargin,
+
+    "q_katz" -> s"""${recChain},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |eplus AS (
+      |  SELECT src, dst, 1.0 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |kz(iter, v, k) AS (
+      |  -- CAST matters: a bare 0.0 makes the recursive column DECIMAL
+      |  -- and silently truncates every later value
+      |  SELECT 0, v, CAST(0.0 AS DOUBLE) FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst, 0.01 * contrib + 1.0
+      |  FROM (
+      |    SELECT max(t.iter) AS iter, e.dst AS dst,
+      |           sum(t.k * e.w) AS contrib
+      |    FROM kz t JOIN eplus e ON t.v = e.src
+      |    WHERE t.iter < 8 GROUP BY e.dst
+      |  ) s
+      |)
+      |SELECT v AS id,
+      |  CAST(round(k / sqrt(sum(k * k) OVER ()) * 1e6, 0) AS BIGINT)
+      |    AS katz_micro
+      |FROM kz WHERE iter = 8""".stripMargin,
+
+    "q_eigenvector" -> s"""${recChain},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |nv AS (SELECT count(*) AS n FROM verts),
+      |eplus AS (
+      |  SELECT src, dst, 1.0 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |ev(iter, v, c) AS (
+      |  SELECT 0, v, 1.0 / (SELECT n FROM nv) FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst, raw / sqrt(sum(raw * raw) OVER ())
+      |  FROM (
+      |    SELECT max(t.iter) AS iter, e.dst AS dst, sum(t.c * e.w) AS raw
+      |    FROM ev t JOIN eplus e ON t.v = e.src
+      |    WHERE t.iter < 8 GROUP BY e.dst
+      |  ) s
+      |)
+      |SELECT v AS id, CAST(round(c * 1e6, 0) AS BIGINT) AS eig_micro
+      |FROM ev WHERE iter = 8""".stripMargin,
+
+    "q_hits" -> s"""${recChain},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |nv AS (SELECT count(*) AS n FROM verts),
+      |eplus AS (
+      |  SELECT src, dst, 1.0 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |ht(iter, v, hub) AS (
+      |  SELECT 0, v, 1.0 / (SELECT n FROM nv) FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, v, hub_raw / max(hub_raw) OVER ()
+      |  FROM (
+      |    SELECT au.iter AS iter, e2.src AS v,
+      |           sum(CASE WHEN e2.w > 0 THEN au.auth ELSE 0 END) AS hub_raw
+      |    FROM (
+      |      SELECT max(t.iter) AS iter, e.dst AS v,
+      |             sum(CASE WHEN e.w > 0 THEN t.hub ELSE 0 END) AS auth
+      |      FROM ht t JOIN eplus e ON t.v = e.src
+      |      WHERE t.iter < 5 GROUP BY e.dst
+      |    ) au JOIN eplus e2 ON au.v = e2.dst
+      |    GROUP BY au.iter, e2.src
+      |  ) s
+      |),
+      |final_hub AS (
+      |  SELECT v, hub / sum(hub) OVER () AS hub FROM ht WHERE iter = 5
+      |),
+      |auth_raw AS (
+      |  SELECT e.dst AS v,
+      |         sum(CASE WHEN e.w > 0 THEN t.hub ELSE 0 END) AS a
+      |  FROM ht t JOIN eplus e ON t.v = e.src
+      |  WHERE t.iter = 4 GROUP BY e.dst
+      |),
+      |auth_norm AS (
+      |  SELECT v, a / max(a) OVER () AS an FROM auth_raw
+      |),
+      |final_auth AS (
+      |  SELECT v, an / sum(an) OVER () AS auth FROM auth_norm
+      |)
+      |SELECT h.v AS id,
+      |  CAST(round(h.hub * 1e6, 0) AS BIGINT) AS hub_micro,
+      |  CAST(round(a.auth * 1e6, 0) AS BIGINT) AS auth_micro
+      |FROM final_hub h JOIN final_auth a ON h.v = a.v""".stripMargin,
+
+    "q_bfs" -> s"""${recChain},
+      |root AS (SELECT min(src) AS r FROM edges),
+      |d(v, dist) AS (
+      |  SELECT r, 0 FROM root
+      |  UNION
+      |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
+      |  WHERE d.dist < 200
+      |),
+      |dmin AS (SELECT v, CAST(min(dist) AS BIGINT) AS distance FROM d GROUP BY v)
+      |SELECT dm.v AS id, dm.distance,
+      |  CASE WHEN dm.v = (SELECT r FROM root) THEN dm.v
+      |       ELSE (SELECT min(e.src) FROM edges e
+      |             JOIN dmin d2 ON d2.v = e.src
+      |             WHERE e.dst = dm.v AND d2.distance = dm.distance - 1)
+      |  END AS predecessor
+      |FROM dmin dm""".stripMargin,
+
+    "q_coarsen" -> s"""$CHAIN, directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |), sym AS (
+      |  SELECT src, dst, min(weight) AS weight FROM (
+      |    SELECT src, dst, weight FROM directed
+      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |  ) t GROUP BY src, dst
+      |)
+      |SELECT src % 10 AS src, dst % 10 AS dst, sum(weight) AS weight
+      |FROM sym GROUP BY src % 10, dst % 10""".stripMargin,
+
+    "q_sorensen" -> similaritySql("2.0 * i / (da + db)", "sor_micro"),
+    "q_overlap" -> similaritySql("i / least(da, db)", "ovl_micro"),
+
+    "q_egonet" -> s"""$CHAIN,
+      |seeds AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 3),
+      |ego AS (
+      |  SELECT v FROM seeds
+      |  UNION SELECT e.dst FROM edges e JOIN seeds s ON e.src = s.v
+      |)
+      |SELECT e.src, e.dst FROM edges e
+      |JOIN ego a ON e.src = a.v JOIN ego b ON e.dst = b.v""".stripMargin
   )
+
+  private def recChain: String =
+    CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
+
+  /** Shared skeleton for similarity-coefficient oracles over chain
+   * edges with src < dst; `formula` uses i (intersection), da, db. */
+  private def similaritySql(formula: String, outCol: String): String =
+    s"""$CHAIN,
+      |deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+      |common AS (
+      |  SELECT e.src, e.dst, count(*) AS inter
+      |  FROM edges e
+      |  JOIN edges n1 ON n1.src = e.src
+      |  JOIN edges n2 ON n2.src = e.dst AND n2.dst = n1.dst
+      |  WHERE e.src < e.dst
+      |  GROUP BY e.src, e.dst
+      |)
+      |SELECT e.src, e.dst,
+      |  CAST(round(($formula) * 1e6, 0) AS BIGINT) AS $outCol
+      |FROM (
+      |  SELECT e0.src, e0.dst,
+      |    CAST(coalesce(c.inter, 0) AS DOUBLE) AS i,
+      |    CAST(a.d AS DOUBLE) AS da, CAST(b.d AS DOUBLE) AS db
+      |  FROM edges e0
+      |  JOIN deg a ON a.v = e0.src JOIN deg b ON b.v = e0.dst
+      |  LEFT JOIN common c ON c.src = e0.src AND c.dst = e0.dst
+      |  WHERE e0.src < e0.dst
+      |) e""".stripMargin
 
   /** Fixed-10-iteration PageRank as a DuckDB recursive CTE mirroring
    * the engine's math exactly (same nw = w/outw normalization, same

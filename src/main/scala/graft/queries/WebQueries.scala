@@ -26,10 +26,29 @@ object WebQueries {
   private val Scale = 9
   private val EdgeFactor = 8
 
-  private def corpus(s: SparkSession): DataFrame = {
-    import s.implicits._
-    PagesCorpus.pages(s, Seed, Scale, EdgeFactor).toDF()
-  }
+  // Memoize corpus + built graph per session: the driver's Verify/Bench
+  // run every query independently, and without this each q_web_* would
+  // regenerate pages and re-extract the graph.
+  private val corpusCache =
+    new java.util.WeakHashMap[SparkSession, (DataFrame, WebGraph.Built)]
+
+  private def corpus(s: SparkSession): DataFrame = built(s)._1
+
+  private def built(s: SparkSession): (DataFrame, WebGraph.Built) =
+    corpusCache.synchronized {
+      Option(corpusCache.get(s)).getOrElse {
+        import s.implicits._
+        val pages = PagesCorpus.pages(s, Seed, Scale, EdgeFactor).toDF()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b0 = WebGraph.fromPages(pages, parts(s))
+        val b = WebGraph.Built(
+          graft.core.Lineage.materialize(b0.urlMap).df,
+          b0.graph.cached())
+        val v = (pages, b)
+        corpusCache.put(s, v)
+        v
+      }
+    }
 
   private def parts(s: SparkSession): Int =
     s.sessionState.conf.numShufflePartitions

@@ -20,13 +20,19 @@ object SqlInternals {
    * fresh flat plan that keeps the original output partitioning. */
   def truncate(
       df: DataFrame,
-      level: StorageLevel): (DataFrame, RDD[InternalRow]) = {
+      level: StorageLevel,
+      eager: Boolean): (DataFrame, RDD[InternalRow]) = {
     val cds = df.asInstanceOf[ClassicDataset[Row]]
-    // toRdd reuses mutable rows; copy before caching.
+    // toRdd reuses mutable rows; copy before caching. localCheckpoint
+    // cuts the RDD DEPENDENCY chain at first materialization — without
+    // it, iteration N's tasks serialize a lineage N levels deep and
+    // long runs die with StackOverflowError during task serialization
+    // (truncating the logical plan alone does not truncate RDD lineage).
     val rdd = cds.queryExecution.toRdd.map(_.copy()).persist(level)
+    rdd.localCheckpoint()
     val logical = LogicalRDD.fromDataset(rdd, cds, isStreaming = false)
     val out = ClassicDataset.ofRows(cds.sparkSession, logical)
-    rdd.count() // eager materialization
+    if (eager) rdd.count() // else: the caller's first action materializes
     (out, rdd)
   }
 }

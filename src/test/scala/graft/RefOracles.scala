@@ -138,3 +138,124 @@ object RefOracles {
     labels.map { case (v, l) => v -> minOf(l) }
   }
 }
+
+/** Oracles for the extended algorithm set (same reference-semantics
+ * ports, driver-side). Kept separate from RefOracles's core four. */
+object RefOraclesX {
+  import RefOracles.E
+
+  /** katz_centrality_impl.cuh: init 0; k' = alpha*sum_in(k*w) + beta;
+   * L1 stop; optional L2 normalize. */
+  def katz(edges: Seq[E], vertices: Seq[Long], alpha: Double, beta: Double,
+      eps: Double, maxIter: Int, normalize: Boolean): Map[Long, Double] = {
+    val vs = vertices.distinct.sorted
+    val in = edges.groupBy(_._2)
+    var k = vs.map(v => v -> 0.0).toMap
+    var done = false
+    var it = 0
+    while (!done && it < maxIter) {
+      it += 1
+      val next = vs.map { v =>
+        v -> (alpha * in.getOrElse(v, Nil).map { case (u, _, w) => k(u) * w }.sum + beta)
+      }.toMap
+      val l1 = vs.map(v => math.abs(next(v) - k(v))).sum
+      k = next
+      done = l1 < eps
+    }
+    if (normalize) {
+      val l2 = math.sqrt(k.values.map(x => x * x).sum)
+      k.map { case (v, x) => v -> x / l2 }
+    } else k
+  }
+
+  /** hits_impl.cuh: init hub 1/V; auth=sum_in hub; hub=sum_out auth;
+   * both /= max; stop on L1(hub); final /= sum. Weights ignored. */
+  def hits(edges: Seq[E], vertices: Seq[Long], eps: Double, maxIter: Int)
+      : Map[Long, (Double, Double)] = {
+    val vs = vertices.distinct.sorted
+    val in = edges.groupBy(_._2)
+    val out = edges.groupBy(_._1)
+    var hub = vs.map(v => v -> 1.0 / vs.size).toMap
+    var auth = vs.map(v => v -> 0.0).toMap
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      it += 1
+      val prevHub = hub
+      auth = vs.map(v => v -> in.getOrElse(v, Nil).map(e => prevHub(e._1)).sum).toMap
+      hub = vs.map(v => v -> out.getOrElse(v, Nil).map(e => auth(e._2)).sum).toMap
+      val hm = hub.values.max; val am = auth.values.max
+      hub = hub.map { case (v, x) => v -> x / hm }
+      auth = auth.map { case (v, x) => v -> x / am }
+      done = vs.map(v => math.abs(hub(v) - prevHub(v))).sum < eps
+    }
+    val hs = hub.values.sum; val as = auth.values.sum
+    vs.map(v => v -> (hub(v) / hs, auth(v) / as)).toMap
+  }
+
+  /** eigenvector_centrality_impl.cuh: init 1/V; c' = sum_in c*w; /= L2;
+   * stop when L1 < V*eps. */
+  def eigenvector(edges: Seq[E], vertices: Seq[Long], eps: Double,
+      maxIter: Int): Map[Long, Double] = {
+    val vs = vertices.distinct.sorted
+    val in = edges.groupBy(_._2)
+    var c = vs.map(v => v -> 1.0 / vs.size).toMap
+    var it = 0
+    var done = false
+    while (!done && it < maxIter) {
+      it += 1
+      val old = c
+      var next = vs.map { v =>
+        v -> in.getOrElse(v, Nil).map { case (u, _, w) => old(u) * w }.sum
+      }.toMap
+      val l2 = math.sqrt(next.values.map(x => x * x).sum)
+      next = next.map { case (v, x) => v -> x / l2 }
+      done = vs.map(v => math.abs(next(v) - old(v))).sum < vs.size * eps
+      c = next
+    }
+    c
+  }
+
+  /** Classic sequential k-core peel (undirected, self-loops ignored). */
+  def coreNumber(edges: Seq[E], vertices: Seq[Long]): Map[Long, Long] = {
+    val adj = scala.collection.mutable.Map[Long, scala.collection.mutable.Set[Long]]()
+    edges.foreach { case (s, d, _) =>
+      if (s != d) {
+        adj.getOrElseUpdate(s, scala.collection.mutable.Set()) += d
+        adj.getOrElseUpdate(d, scala.collection.mutable.Set()) += s
+      }
+    }
+    val core = scala.collection.mutable.Map[Long, Long]()
+    vertices.distinct.foreach(v => core(v) = 0L)
+    var k = 0L
+    val remaining = scala.collection.mutable.Set[Long](adj.keys.toSeq: _*)
+    while (remaining.nonEmpty) {
+      k += 1
+      var changed = true
+      while (changed) {
+        val peel = remaining.filter(v =>
+          adj(v).count(remaining.contains) <= k).toSeq
+        changed = peel.nonEmpty
+        peel.foreach { v => core(v) = k; remaining -= v }
+      }
+    }
+    core.toMap
+  }
+
+  /** BFS hop distances from sources over directed edges. */
+  def bfs(edges: Seq[E], sources: Seq[Long]): Map[Long, Long] = {
+    val out = edges.groupBy(_._1)
+    val dist = scala.collection.mutable.Map[Long, Long]()
+    var frontier = sources.distinct
+    frontier.foreach(v => dist(v) = 0L)
+    var d = 0L
+    while (frontier.nonEmpty) {
+      d += 1
+      val next = frontier.flatMap(v => out.getOrElse(v, Nil).map(_._2))
+        .distinct.filterNot(dist.contains)
+      next.foreach(v => dist(v) = d)
+      frontier = next
+    }
+    dist.toMap
+  }
+}
