@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{GraphQueries, TextQueries, WebQueries}
+import graft.queries.{EventQueries, GraphQueries, TextQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -15,12 +15,13 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    GraphQueries.queries ++ WebQueries.queries ++ TextQueries.queries
+    GraphQueries.queries ++ WebQueries.queries ++ TextQueries.queries ++
+      EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops (the
     * q_web_* pipeline runs on the synthesized corpus → rows-only check;
     * correctness pinned in sbt test vs reference oracles). */
   def oracleSql: Map[String, String] =
-    GraphQueries.oracleSql ++ TextQueries.oracleSql
+    GraphQueries.oracleSql ++ TextQueries.oracleSql ++ EventQueries.oracleSql
 }

@@ -25,7 +25,10 @@ object Bfs {
 
   /** Returns (id, distance, predecessor); sources have distance 0 and
    * predecessor = themselves. */
-  def run(g0: LinkGraph, sources: Seq[Long], cfg: Config = Config()): DataFrame = {
+  def run(g0: LinkGraph, sources: Seq[Long], cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, sources, cfg))
+
+  private def runImpl(g0: LinkGraph, sources: Seq[Long], cfg: Config): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val spark = g.spark

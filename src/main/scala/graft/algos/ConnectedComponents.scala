@@ -45,7 +45,10 @@ object ConnectedComponents {
   private val COMP = "component"
   private val CHANGED = "changed"
 
-  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): Result = {
     // One upfront cache of the edge table; vertices + the superstep
     // joins all read it (an uncached upstream plan would re-run per use).
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
@@ -72,14 +75,16 @@ object ConnectedComponents {
       iter += 1
       // Only improved vertices broadcast their (smaller) label.
       val msgs = edges
-        .join(state.df.filter(col(CHANGED)).select(col(ID), col(COMP)),
+        .join(state.df.filter(col(CHANGED)).select(col(ID), col(COMP))
+            .hint("shuffle_hash"),
           edges(SRC) === col(ID))
         .select(col(DST), col(COMP).as("m"))
         .groupBy(DST)
         .agg(min("m").as("m"))
 
       val next = Lineage.materialize(
-        state.df.join(msgs, state.df(ID) === msgs(DST), "left")
+        state.df.join(msgs.hint("shuffle_hash"),
+            state.df(ID) === msgs(DST), "left")
           .select(
             state.df(ID),
             least(state.df(COMP), coalesce(col("m"), state.df(COMP))).as(COMP),

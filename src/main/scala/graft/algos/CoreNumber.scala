@@ -24,7 +24,10 @@ import graft.core.LinkGraph.{DST, ID, SRC}
 object CoreNumber {
 
   /** (id, core_number) for every vertex of the undirected graph. */
-  def run(g0: LinkGraph, maxK: Int = 1 << 20): DataFrame = {
+  def run(g0: LinkGraph, maxK: Int = 1 << 20): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, maxK))
+
+  private def runImpl(g0: LinkGraph, maxK: Int): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val spark = g.spark

@@ -32,7 +32,10 @@ object Hits {
 
   final case class Result(scores: DataFrame, iterations: Int, converged: Boolean)
 
-  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): Result = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions

@@ -26,7 +26,10 @@ object Katz {
 
   final case class Result(centralities: DataFrame, iterations: Int, converged: Boolean)
 
-  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): Result = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions

@@ -47,7 +47,10 @@ object LabelPropagation {
 
   private val LBL = "label"
 
-  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): Result = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
@@ -71,7 +74,7 @@ object LabelPropagation {
       // Deterministic argmax: max over struct(count, -label) picks the
       // highest count, then (negated) the smallest label.
       val msgs = edges
-        .join(state.df, edges(SRC) === state.df(ID))
+        .join(state.df.hint("shuffle_hash"), edges(SRC) === state.df(ID))
         .select(col(DST), col(LBL))
         .groupBy(DST, LBL)
         .agg(count(lit(1)).as("cnt"))
@@ -80,7 +83,8 @@ object LabelPropagation {
         .select(col(DST), (-col("top.neg")).as("new_lbl"))
 
       val next = Lineage.materialize(
-        state.df.join(msgs, state.df(ID) === msgs(DST), "left")
+        state.df.join(msgs.hint("shuffle_hash"),
+            state.df(ID) === msgs(DST), "left")
           .select(
             state.df(ID),
             coalesce(col("new_lbl"), state.df(LBL)).as(LBL),

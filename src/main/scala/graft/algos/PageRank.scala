@@ -60,7 +60,10 @@ object PageRank {
   private val OLD = "old_pr"
   private val DANG = "dangling"
 
-  def run(g0: LinkGraph, cfg: Config = Config()): Result = {
+  def run(g0: LinkGraph, cfg: Config = Config()): Result =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): Result = {
     // Cache the edge table up front: vertex set, counts, out-weights and
     // normalized edges all derive from it — without this, an expensive
     // upstream plan (e.g. corpus extraction) would re-run per use.
@@ -92,7 +95,7 @@ object PageRank {
     // and its output KEEPS that partitioning — no explicit repartition,
     // so building normEdges shuffles nothing beyond the ows aggregate.
     val normEdges = g.edges
-      .join(ows.df.withColumnRenamed(ID, SRC), Seq(SRC))
+      .join(ows.df.withColumnRenamed(ID, SRC).hint("shuffle_hash"), Seq(SRC))
       .select(col(SRC), col(DST), (col(WEIGHT) / col("out_weight")).as("nw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -131,14 +134,18 @@ object PageRank {
         .groupBy(DST)
         .agg(sum("m").as("m"))
 
-      val next = Lineage.materialize(
-        state.df.join(msgs.hint("shuffle_hash"), state.df(ID) === msgs(DST), "left")
-          .select(
-            state.df(ID),
-            (lit(cfg.alpha) * coalesce(col("m"), lit(0.0)) + lit(base)).as(PR),
-            state.df(PR).as(OLD),
-            state.df(DANG)),
-        eager = false)
+      val nextPlan = state.df
+        .join(msgs.hint("shuffle_hash"), state.df(ID) === msgs(DST), "left")
+        .select(
+          state.df(ID),
+          (lit(cfg.alpha) * coalesce(col("m"), lit(0.0)) + lit(base)).as(PR),
+          state.df(PR).as(OLD),
+          state.df(DANG))
+      if (cfg.verbose && iter == 1 &&
+          sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        nextPlan.explain("formatted")
+      }
+      val next = Lineage.materialize(nextPlan, eager = false)
 
       val tAgg = System.nanoTime()
       val Array(dSum, l1Now) = scalars(next.df)

@@ -32,7 +32,10 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  */
 object TriangleCount {
 
-  def run(g0: LinkGraph): DataFrame = {
+  def run(g0: LinkGraph): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0))
+
+  private def runImpl(g0: LinkGraph): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions

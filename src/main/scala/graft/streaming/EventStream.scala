@@ -1,0 +1,75 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming layer over the events table. The reference is
+ * batch-only (SURVEY.md §2.h — no streams exist in cuGraph); this is
+ * part of the training-data-pipeline surface: the same transformations
+ * run identically over a static DataFrame (verifiable against the
+ * DuckDB oracle) and over readStream input (verified incrementally in
+ * the streaming spec).
+ */
+object EventStream {
+
+  /** Tumbling-window counts per event type. Window key is an integer
+   * hour bucket of the event timestamp (epoch microseconds / 3600e6) —
+   * portable to the SQL oracle, identical in batch and streaming. */
+  def hourlyTypeCounts(events: DataFrame): DataFrame =
+    events
+      // ts arrives as TimestampNTZ; under the pinned UTC session the
+      // cast is instant-preserving and matches DuckDB's epoch_us.
+      .withColumn("hour_bucket",
+        (unix_micros(col("ts").cast("timestamp")) / lit(3600000000L))
+          .cast("long"))
+      .groupBy("hour_bucket", "event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value")) * 1e6, 0).cast("long").as("sum_value_micro"))
+
+  /** Event-time windowed aggregation with watermark — the streaming
+   * form (native window() + watermark so late data is handled). */
+  def streamingWindowCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon. */
+  def dedupedStream(events: DataFrame): DataFrame =
+    events.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("event_id")
+
+  final case class UserAgg(user_id: Long, n: Long, total: Double, last_ts: Timestamp)
+
+  /** Custom streaming state: running per-user event count/total via
+   * mapGroupsWithState (the KeyValueGroupedDataset state API). */
+  def perUserRunningAgg(events: DataFrame): Dataset[UserAgg] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[(Long, Double, Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[UserAgg, UserAgg](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserAgg]) =>
+          val prev = state.getOption.getOrElse(UserAgg(uid, 0L, 0.0, new Timestamp(0L)))
+          var n = prev.n
+          var total = prev.total
+          var last = prev.last_ts
+          rows.foreach { case (_, v, ts) =>
+            n += 1; total += v
+            if (ts.after(last)) last = ts
+          }
+          val cur = UserAgg(uid, n, total, last)
+          state.update(cur)
+          cur
+      }
+  }
+}
