@@ -26,6 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] is one JVM: give it real headroom by default (cap, not
+  // an allocation); 8g caused GC-bound benchmark anomalies.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
   "-Xss64m", // deep Catalyst/RDD recursion headroom in iterative algos
 )

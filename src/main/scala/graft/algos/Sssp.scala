@@ -1,0 +1,92 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
+
+/**
+ * Single-source shortest paths over non-negative edge weights
+ * (reference contract `/root/reference/cpp/include/cugraph/algorithms.hpp:1098`,
+ * near-far delta-stepping in `cpp/src/traversal/sssp_impl.cuh`).
+ *
+ * Distributed shape: synchronous label-correcting relaxation (the
+ * Bellman-Ford/Pregel form) with a change-frontier — only vertices
+ * whose distance improved relax their out-edges next superstep, so the
+ * superstep count is bounded by the shortest-path hop diameter, and
+ * each superstep is the standard co-partitioned join + min-reduce.
+ * The reference's near-far buckets are a GPU work-efficiency device;
+ * the fixpoint they reach is identical.
+ *
+ * Returns (id, distance, predecessor) for reached vertices;
+ * predecessor = the min-id optimal predecessor (pinned tie-break).
+ */
+object Sssp {
+
+  final case class Config(maxIter: Int = 10000)
+
+  def run(g0: LinkGraph, source: Long, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, source, cfg))
+
+  private def runImpl(g0: LinkGraph, source: Long, cfg: Config): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val spark = g.spark
+    import spark.implicits._
+    val p = g.numPartitions
+
+    // State: (id, distance, predecessor, changed)
+    var state = Lineage.materialize(
+      Seq((source, 0.0, source, true)).toDF(ID, "distance", "predecessor", "chg")
+        .repartition(p, col(ID)),
+      eager = false)
+    var frontier = 1L
+    var iter = 0
+
+    while (frontier > 0 && iter < cfg.maxIter) {
+      iter += 1
+      // Relax out-edges of improved vertices; keep the best (distance,
+      // predecessor) candidate per destination — min over struct gives
+      // the deterministic (smallest-distance, then smallest-pred) pick.
+      val cand = g.edges
+        .join(state.df.filter(col("chg"))
+            .select(col(ID), col("distance")).hint("shuffle_hash"),
+          g.edges(SRC) === col(ID))
+        .select(col(DST),
+          struct((col("distance") + col(WEIGHT)).as("d"),
+            col(SRC).as("pred")).as("c"))
+        .groupBy(DST)
+        .agg(min("c").as("c"))
+        .select(col(DST).as("cid"), col("c.d").as("nd"), col("c.pred").as("np"))
+
+      val next = Lineage.materialize(
+        state.df.drop("chg")
+          .join(cand.hint("shuffle_hash"),
+            state.df(ID) === col("cid"), "full_outer")
+          .select(
+            coalesce(state.df(ID), col("cid")).as(ID),
+            when(col("nd") < coalesce(state.df("distance"), lit(Double.MaxValue)),
+              col("nd")).otherwise(state.df("distance")).as("distance"),
+            when(col("nd") < coalesce(state.df("distance"), lit(Double.MaxValue)),
+              col("np")).otherwise(state.df("predecessor")).as("predecessor"),
+            (col("nd") < coalesce(state.df("distance"), lit(Double.MaxValue)))
+              .as("chg"))
+          .select(col(ID), col("distance"), col("predecessor"),
+            coalesce(col("chg"), lit(false)).as("chg"))
+          .repartition(p, col(ID)),
+        eager = false)
+
+      frontier = next.df.filter(col("chg")).count()
+      state.release()
+      state = next
+    }
+
+    val out = Lineage.materialize(
+      state.df.select(col(ID), col("distance"), col("predecessor")))
+    state.release()
+    if (!callerCached) g.unpersist()
+    out.df
+  }
+}

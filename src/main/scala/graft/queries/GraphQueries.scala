@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, PageRank, Similarity, TriangleCount}
+import graft.algos.{Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, PageRank, RandomWalks, Similarity, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 
@@ -224,6 +224,30 @@ object GraphQueries {
       Similarity.run(chainGraph(s, dir), Similarity.Overlap)
         .select(col(SRC), col(DST),
           round(col("overlap") * 1e6, 0).cast("long").as("ovl_micro"))
+    }),
+
+    "q_sssp" -> ((s, dir) => {
+      // Weighted shortest paths over the min-quantity symmetrized
+      // chain graph from its smallest vertex.
+      val p = chainPairs(s, dir)
+      val directed = p.groupBy(col("u").as(SRC), col("v").as(DST))
+        .agg(min(col("q")).as(WEIGHT))
+      val sym = directed
+        .union(directed.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT)))
+        .groupBy(SRC, DST).agg(min(WEIGHT).as(WEIGHT))
+      val g = LinkGraph(sym, directed = false,
+        s.sessionState.conf.numShufflePartitions)
+      val root = sym.agg(min(col(SRC))).head().getLong(0)
+      Sssp.run(g, root)
+    }),
+
+    "q_random_walks" -> ((s, dir) => {
+      // Deterministic (md5-counter) uniform walks of length 4 from the
+      // 10 smallest vertices.
+      val g = chainGraph(s, dir)
+      val starts = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(10)
+      RandomWalks.run(g, starts, RandomWalks.Config(length = 4, seed = 42L))
     }),
 
     "q_egonet" -> ((s, dir) => {
@@ -450,6 +474,63 @@ object GraphQueries {
       |)
       |SELECT src % 10 AS src, dst % 10 AS dst, sum(weight) AS weight
       |FROM sym GROUP BY src % 10, dst % 10""".stripMargin,
+
+    "q_sssp" -> s"""${recChain},
+      |directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |), wedges AS (
+      |  SELECT src, dst, min(weight) AS weight FROM (
+      |    SELECT src, dst, weight FROM directed
+      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |  ) t GROUP BY src, dst
+      |),
+      |verts AS (SELECT DISTINCT src AS v FROM wedges),
+      |root AS (SELECT min(src) AS r FROM wedges),
+      |eplus AS (
+      |  SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM wedges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |sss(iter, v, dist, pred) AS (
+      |  SELECT 0, v,
+      |    CASE WHEN v = (SELECT r FROM root) THEN CAST(0.0 AS DOUBLE)
+      |         ELSE CAST(1e18 AS DOUBLE) END, v
+      |  FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst,
+      |    CASE WHEN best.d < cur.d THEN best.d ELSE cur.d END,
+      |    CASE WHEN best.d < cur.d THEN best.p ELSE cur.p END
+      |  FROM (
+      |    SELECT max(t.iter) AS iter, e.dst AS dst,
+      |      min(CASE WHEN e.w > 0
+      |            THEN struct_pack(d := t.dist + e.w, p := t.v) END) AS best,
+      |      min(CASE WHEN e.w = 0
+      |            THEN struct_pack(d := t.dist, p := t.pred) END) AS cur
+      |    FROM sss t JOIN eplus e ON t.v = e.src
+      |    WHERE t.iter < 60
+      |    GROUP BY e.dst
+      |  ) s
+      |)
+      |SELECT v AS id, dist AS distance, pred AS predecessor
+      |FROM sss WHERE iter = 60 AND dist < 1e17""".stripMargin,
+
+    "q_random_walks" -> s"""${recChain},
+      |adj AS (
+      |  SELECT src AS v, list(dst ORDER BY dst) AS nbrs,
+      |         count(*) AS deg
+      |  FROM edges GROUP BY src
+      |),
+      |starts AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 10),
+      |wk(start, step, vertex) AS (
+      |  SELECT v, CAST(0 AS BIGINT), v FROM starts
+      |  UNION ALL
+      |  SELECT w.start, w.step + 1,
+      |    list_extract(a.nbrs, CAST(
+      |      ('0x' || substr(md5(42 || ':' || w.start || ':' || (w.step + 1)), 1, 8))::BIGINT
+      |      % a.deg AS INT) + 1)
+      |  FROM wk w JOIN adj a ON w.vertex = a.v
+      |  WHERE w.step < 4
+      |)
+      |SELECT start, step, vertex FROM wk""".stripMargin,
 
     "q_sorensen" -> similaritySql("2.0 * i / (da + db)", "sor_micro"),
     "q_overlap" -> similaritySql("i / least(da, db)", "ovl_micro"),
