@@ -38,18 +38,26 @@ object Ann {
    * (query_id, neighbor_id, cos_micro, rank), rank 1..k, ties broken
    * by neighbor id ascending for determinism.
    */
+  /** dot(a,b) via codegen'd higher-order functions. */
+  private def dotCol(x: Column, y: Column): Column = aggregate(
+    zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
+
   def cosineTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int): DataFrame = {
+    // Norms precomputed per side: the pairwise stage then does ONE dot
+    // product per pair instead of three.
     val q = queries.select(col(idCol).as("query_id"),
-      asDouble(col(embCol)).as("qe"))
+        asDouble(col(embCol)).as("qe"))
+      .withColumn("qn", sqrt(dotCol(col("qe"), col("qe"))))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      asDouble(col(embCol)).as("ce"))
+        asDouble(col(embCol)).as("ce"))
+      .withColumn("cn", sqrt(dotCol(col("ce"), col("ce"))))
     val scored = q.crossJoin(c)
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qe"), col("ce")) * 1e6, 0).cast("long")
-          .as("cos_micro"))
+        round(dotCol(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6, 0)
+          .cast("long").as("cos_micro"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -117,13 +125,16 @@ object Ann {
       emb: DataFrame, idCol: String, embCol: String, blockCol: String,
       thresholdMicro: Long): DataFrame = {
     val e = emb.select(col(idCol), asDouble(col(embCol)).as("e"), col(blockCol))
-    val l = e.select(col(idCol).as("a"), col("e").as("ea"), col(blockCol))
-    val r = e.select(col(idCol).as("b"), col("e").as("eb"), col(blockCol))
+      .withColumn("n", sqrt(dotCol(col("e"), col("e"))))
+    val l = e.select(col(idCol).as("a"), col("e").as("ea"), col("n").as("na"),
+      col(blockCol))
+    val r = e.select(col(idCol).as("b"), col("e").as("eb"), col("n").as("nb"),
+      col(blockCol))
     l.join(r, Seq(blockCol))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
-        round(cosine(col("ea"), col("eb")) * 1e6, 0).cast("long")
-          .as("cos_micro"))
+        round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")) * 1e6, 0)
+          .cast("long").as("cos_micro"))
       .filter(col("cos_micro") >= thresholdMicro)
   }
 }
