@@ -48,7 +48,16 @@ object PageRank {
       checkpointEvery: Int = 10,
       checkpoint: Option[CheckpointManager] = None,
       algoName: String = "pagerank",
-      verbose: Boolean = false)
+      verbose: Boolean = false,
+      // Personalized PageRank: (id, value) rows; the teleport/dangling
+      // mass is redistributed proportionally to value/sum(value) over
+      // the listed vertices instead of uniformly (reference
+      // `pagerank_impl.cuh:229-246`, oracle `pagerank_test.cpp:110-121`).
+      personalization: Option[DataFrame] = None,
+      // Initial guess (id, value), normalized by its sum (reference
+      // `pagerank_impl.cuh:166-183`); vertices absent from the guess
+      // start at 0.
+      initialGuess: Option[DataFrame] = None)
 
   final case class Result(
       ranks: DataFrame, // columns: id, pagerank
@@ -59,6 +68,7 @@ object PageRank {
   private val PR = "pr"
   private val OLD = "old_pr"
   private val DANG = "dangling"
+  private val PW = "pw" // per-vertex teleport weight (1/V when uniform)
 
   def run(g0: LinkGraph, cfg: Config = Config()): Result =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
@@ -99,10 +109,39 @@ object PageRank {
       .select(col(SRC), col(DST), (col(WEIGHT) / col("out_weight")).as("nw"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // State: (id, pr, old_pr, dangling) derives from ows in place.
-    val init = ows.df
-      .select(col(ID), lit(1.0 / v).as(PR), lit(0.0).as(OLD),
-        (col("out_weight") === 0.0).as(DANG))
+    // Per-vertex teleport weight: uniform 1/V, or value/sum over the
+    // personalization vertices (0 elsewhere).
+    val pwCol: DataFrame => DataFrame = cfg.personalization match {
+      case None =>
+        df => df.withColumn(PW, lit(1.0 / v))
+      case Some(pers) =>
+        val pSum = pers.agg(sum(col("value"))).head().getDouble(0)
+        require(pSum > 0.0, "personalization values must sum > 0")
+        val pn = pers.select(col(ID).as("__pid"),
+          (col("value").cast("double") / pSum).as(PW))
+        df => df.join(pn.hint("shuffle_hash"), df(ID) === col("__pid"), "left")
+          .drop("__pid")
+          .withColumn(PW, coalesce(col(PW), lit(0.0)))
+    }
+
+    // Initial scores: uniform 1/V, or the sum-normalized user guess.
+    val prInit: DataFrame => DataFrame = cfg.initialGuess match {
+      case None =>
+        df => df.withColumn(PR, lit(1.0 / v))
+      case Some(guess) =>
+        val gSum = guess.agg(sum(col("value"))).head().getDouble(0)
+        require(gSum > 0.0, "initial guess must sum > 0")
+        val gn = guess.select(col(ID).as("__gid"),
+          (col("value").cast("double") / gSum).as(PR))
+        df => df.join(gn.hint("shuffle_hash"), df(ID) === col("__gid"), "left")
+          .drop("__gid")
+          .withColumn(PR, coalesce(col(PR), lit(0.0)))
+    }
+
+    // State: (id, pr, old_pr, dangling, pw) derives from ows in place.
+    val init = prInit(pwCol(ows.df))
+      .select(col(ID), col(PR), lit(0.0).as(OLD),
+        (col("out_weight") === 0.0).as(DANG), col(PW))
 
     // Resume from the latest committed superstep, if any.
     val resume = cfg.checkpoint
@@ -119,7 +158,9 @@ object PageRank {
     while (!converged && iter < cfg.maxIter) {
       iter += 1
       val tIter = System.nanoTime()
-      val base = (danglingSum * cfg.alpha + (1.0 - cfg.alpha)) / v
+      // Redistributed mass this superstep; multiplied by the per-vertex
+      // teleport weight (uniform 1/V or personalized).
+      val mass = danglingSum * cfg.alpha + (1.0 - cfg.alpha)
 
       // shuffle_hash hints: without them Catalyst picks sort-merge and
       // re-SORTS the (cached, unsorted) edge table every superstep —
@@ -138,9 +179,11 @@ object PageRank {
         .join(msgs.hint("shuffle_hash"), state.df(ID) === msgs(DST), "left")
         .select(
           state.df(ID),
-          (lit(cfg.alpha) * coalesce(col("m"), lit(0.0)) + lit(base)).as(PR),
+          (lit(cfg.alpha) * coalesce(col("m"), lit(0.0))
+            + lit(mass) * state.df(PW)).as(PR),
           state.df(PR).as(OLD),
-          state.df(DANG))
+          state.df(DANG),
+          state.df(PW))
       if (cfg.verbose && iter == 1 &&
           sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
         nextPlan.explain("formatted")

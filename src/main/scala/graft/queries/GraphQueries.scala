@@ -104,6 +104,19 @@ object GraphQueries {
         .limit(10)
     }),
 
+    "q_pagerank_personalized" -> ((s, dir) => {
+      // Teleport mass pinned to the 3 smallest vertices (equal values),
+      // fixed 10 iterations; exported as integer micro-PageRank.
+      val g = chainGraph(s, dir)
+      val pers = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(3)
+        .select(col(ID), lit(1.0).as("value"))
+      val r = PageRank.run(g, PageRank.Config(alpha = 0.85, tol = 0.0,
+        maxIter = 10, personalization = Some(pers)))
+      r.ranks.select(col(ID),
+        round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro"))
+    }),
+
     "q_wcc" -> ((s, dir) => {
       val g = chainGraph(s, dir)
       ConnectedComponents.run(g).components
@@ -296,6 +309,7 @@ object GraphQueries {
 
     "q_pagerank" -> pagerankSql(limit = None),
     "q_pagerank_top10" -> pagerankSql(limit = Some(10)),
+    "q_pagerank_personalized" -> personalizedPagerankSql,
 
     "q_wcc" -> s"""$CHAIN, verts AS (SELECT DISTINCT src AS v FROM edges),
       |cc(v, comp) AS (
@@ -547,6 +561,43 @@ object GraphQueries {
 
   private def recChain: String =
     CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
+
+  /** Fixed-10-iteration PERSONALIZED PageRank: teleport/dangling mass
+   * goes to the 3 smallest vertices (equal weights) instead of 1/V. */
+  private def personalizedPagerankSql: String =
+    s"""${recChain},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |pw AS (
+      |  SELECT v, CAST(1.0 AS DOUBLE) / 3 AS w
+      |  FROM (SELECT v FROM verts ORDER BY v LIMIT 3) t
+      |),
+      |outw AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS ow
+      |         FROM edges GROUP BY src),
+      |eplus AS (
+      |  SELECT src, dst, 1.0 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |pr(iter, v, p) AS (
+      |  SELECT 0, v, 1.0 / (SELECT count(*) FROM verts) FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst,
+      |         0.85 * contrib +
+      |         (0.85 * sum(dpart) OVER () + 0.15) * coalesce(pw.w, 0)
+      |  FROM (
+      |    SELECT max(t.iter) AS iter, e.dst AS dst,
+      |           sum(CASE WHEN e.w > 0 THEN t.p * (e.w / o.ow) ELSE 0 END)
+      |             AS contrib,
+      |           sum(CASE WHEN e.w = 0 AND coalesce(o.ow, 0) = 0
+      |                    THEN t.p ELSE 0 END) AS dpart
+      |    FROM pr t
+      |    JOIN eplus e ON t.v = e.src
+      |    LEFT JOIN outw o ON o.v = t.v
+      |    WHERE t.iter < 10
+      |    GROUP BY e.dst
+      |  ) s LEFT JOIN pw ON s.dst = pw.v
+      |)
+      |SELECT v AS id, CAST(round(p * 1e6, 0) AS BIGINT) AS pr_micro
+      |FROM pr WHERE iter = 10""".stripMargin
 
   /** Shared skeleton for similarity-coefficient oracles over chain
    * edges with src < dst; `formula` uses i (intersection), da, db. */

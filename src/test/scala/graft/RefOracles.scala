@@ -19,30 +19,44 @@ object RefOracles {
 
   type E = (Long, Long, Double)
 
-  /** Pull-model power iteration with dangling redistribution and L1 stop. */
+  /** Pull-model power iteration with dangling redistribution and L1
+   * stop; optional personalization and initial guess exactly as the
+   * reference host oracle (pagerank_test.cpp:43-130). */
   def pagerank(
       edges: Seq[E],
       vertices: Seq[Long],
       alpha: Double = 0.85,
       eps: Double = 1e-6,
-      maxIter: Int = 100): Map[Long, Double] = {
+      maxIter: Int = 100,
+      personalization: Option[Map[Long, Double]] = None,
+      initialGuess: Option[Map[Long, Double]] = None): Map[Long, Double] = {
     val vs = vertices.distinct.sorted
     val n = vs.size
     if (n == 0) return Map.empty
     val outw = mutable.Map[Long, Double]().withDefaultValue(0.0)
     edges.foreach { case (s, _, w) => outw(s) += w }
     val in = edges.groupBy(_._2) // dst -> incoming edges
-    var pr = vs.map(v => v -> 1.0 / n).toMap
+    var pr = initialGuess match {
+      case None => vs.map(v => v -> 1.0 / n).toMap
+      case Some(g0) =>
+        val s = g0.values.sum
+        vs.map(v => v -> g0.getOrElse(v, 0.0) / s).toMap
+    }
+    val pSum = personalization.map(_.values.sum).getOrElse(0.0)
     var it = 0
     var done = false
     while (!done) {
       it += 1
       val danglingSum = vs.iterator.filter(outw(_) == 0.0).map(pr).sum
-      val base = (danglingSum * alpha + (1.0 - alpha)) / n
+      val mass = danglingSum * alpha + (1.0 - alpha)
       val next = vs.map { v =>
         val gather = in.getOrElse(v, Nil).iterator
           .map { case (u, _, w) => alpha * pr(u) * (w / outw(u)) }.sum
-        v -> (gather + base)
+        val tele = personalization match {
+          case None => mass / n
+          case Some(p) => mass * (p.getOrElse(v, 0.0) / pSum)
+        }
+        v -> (gather + tele)
       }.toMap
       val l1 = vs.iterator.map(v => math.abs(next(v) - pr(v))).sum
       pr = next
