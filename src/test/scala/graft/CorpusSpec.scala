@@ -134,6 +134,33 @@ class WebGraphPipelineSpec extends SparkSpec {
 }
 
 class ResumeSpec extends SparkSpec {
+
+  test("wcc resumes from checkpoint and matches an uninterrupted run") {
+    import graft.algos.ConnectedComponents
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-wcc").toString
+    val edges = loadFixture("karate-disjoint")
+    val g = graphOf(edges).symmetrize
+
+    val full = ConnectedComponents.run(g)
+    val want = full.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Phase 1: stop after 2 supersteps (commit every superstep).
+    val cm1 = new graft.checkpoint.CheckpointManager(dir, spark)
+    ConnectedComponents.run(g, ConnectedComponents.Config(maxIter = 2,
+      checkpointEvery = 1, checkpoint = Some(cm1)))
+    assert(cm1.latestIteration("wcc").contains(2))
+
+    // Phase 2: resume and finish; identical labeling.
+    val cm2 = new graft.checkpoint.CheckpointManager(dir, spark)
+    val resumed = ConnectedComponents.run(g,
+      ConnectedComponents.Config(checkpointEvery = 1, checkpoint = Some(cm2)))
+    assert(resumed.converged)
+    val got = resumed.components.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("pagerank resumes from checkpoint and matches an uninterrupted run") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val edges = loadFixture("karate")
