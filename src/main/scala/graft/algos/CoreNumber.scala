@@ -1,7 +1,6 @@
 package graft.algos
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -17,17 +16,31 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  * neighbors' current values; the sequence is monotone non-increasing
  * and converges exactly to the core numbers.
  *
- * Why this shape instead of porting the peel: peeling is inherently
- * sequential in k (hundreds of tiny supersteps = scheduling-bound on a
- * cluster), while the h-index form converges in a few tens of
- * supersteps each of which is one co-partitioned join + one windowed
- * aggregation — the same physical pattern as every other algorithm
- * here. The h-index of a neighbor multiset is invariant to tie order,
- * so the result is deterministic.
+ * Physical plan — AGGREGATION-ONLY, no per-vertex sort, no windows:
+ * a window-over-dst h-index (the v1 implementation) put a hub's whole
+ * neighbor multiset into one task and sorted it every superstep. Here
+ * each superstep is
+ *
+ *   1. value histogram per vertex: groupBy(dst, c) count — map-side
+ *      combinable, a hub's fan-in collapses before the shuffle;
+ *   2. h from the histogram: values are first capped at K, a GLOBAL
+ *      upper bound on any core number (a k-core needs k(k+1)/2 edges,
+ *      so K = floor((sqrt(8E+1)-1)/2)); the per-vertex histogram then
+ *      has at most K+1 rows, so a sorted-array fold per vertex is
+ *      O(K) bounded — at E = 10^12 that is ~1.4M entries worst case
+ *      for a mega-hub row, once, shrinking as c values collapse.
+ *      Starting from c = min(degree, K) keeps the iterate squeezed
+ *      between the true core numbers and the degree-start sequence,
+ *      so convergence (to the same fixpoint) is preserved.
  *
  * Returns (id, core_number); isolated / self-loop-only vertices get 0.
  */
 object CoreNumber {
+
+  /** Supersteps taken by the most recent [[run]] on this driver —
+   * instrumentation for benchmarks and for sizing the fixed-iteration
+   * SQL oracle (which must exceed the engine's fixpoint). */
+  @volatile var lastIterations: Int = 0
 
   def run(g0: LinkGraph, maxIter: Int = 1000): DataFrame =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, maxIter))
@@ -39,16 +52,20 @@ object CoreNumber {
 
     val edges = g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST))
 
-    // init c = degree over self-loop-free edges (undirected input:
-    // out-degree == degree); universe includes self-loop-only vertices
-    // which start (and stay) at 0.
+    // Global cap: any k-core has at least k(k+1)/2 undirected edges.
+    val eRows = edges.count()
+    val undirected = math.max(1L, eRows / 2)
+    val cap = ((math.sqrt(8.0 * undirected + 1.0) - 1.0) / 2.0).toLong.max(1L)
+
+    // init c = min(degree, cap); universe includes self-loop-only
+    // vertices which start (and stay) at 0.
     val universe = g.edges.select(col(SRC).as(ID))
       .union(g.edges.select(col(DST).as(ID))).distinct()
     val degs = edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("c"))
     var state = Lineage.materialize(
       universe
         .join(degs, Seq(ID), "left")
-        .select(col(ID), coalesce(col("c"), lit(0L)).as("c"))
+        .select(col(ID), least(coalesce(col("c"), lit(0L)), lit(cap)).as("c"))
         .repartition(p, col(ID)),
       eager = false)
 
@@ -56,16 +73,26 @@ object CoreNumber {
     var changed = 1L
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      // h-index of neighbor values: sort each vertex's neighbor c's
-      // descending, h = max over rank r of min(c, r).
-      val w = Window.partitionBy(DST).orderBy(col("nc").desc)
-      val h = edges
+      // Histogram of neighbor values per vertex (≤ cap+1 rows each),
+      // then h = max over descending values v of min(v, suffix count).
+      val hist = edges
         .join(state.df.select(col(ID), col("c")).hint("shuffle_hash"),
           edges(SRC) === col(ID))
-        .select(col(DST), col("c").as("nc"))
-        .withColumn("r", row_number().over(w).cast("long"))
+        .groupBy(col(DST), col("c").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+      val h = hist
         .groupBy(DST)
-        .agg(max(least(col("nc"), col("r"))).as("h"))
+        .agg(sort_array(collect_list(struct(col("v"), col("cnt"))),
+          asc = false).as("hist"))
+        .select(col(DST),
+          aggregate(
+            col("hist"),
+            struct(lit(0L).as("cum"), lit(0L).as("h")),
+            (acc, x) => struct(
+              (acc("cum") + x("cnt")).as("cum"),
+              greatest(acc("h"),
+                least(x("v"), acc("cum") + x("cnt"))).as("h")),
+            acc => acc("h")).as("h"))
 
       val next = Lineage.materialize(
         state.df.join(h.hint("shuffle_hash"),
@@ -79,6 +106,7 @@ object CoreNumber {
       state = next
     }
 
+    lastIterations = iter
     val out = Lineage.materialize(
       state.df.select(col(ID), col("c").as("core_number")))
     state.release()

@@ -103,6 +103,9 @@ object TriangleCount {
    * restricted to k=2 which is all triangle counting needs). Returns
    * the induced subgraph on the 2-core.
    */
+  /** Peel rounds taken by the most recent [[twoCore]] (oracle sizing). */
+  @volatile var lastTwoCoreRounds: Int = 0
+
   def twoCore(g: LinkGraph, maxIter: Int = 100): LinkGraph = {
     var cur = graft.core.Lineage.materialize(g.edges, eager = false)
     var n = cur.df.count()
@@ -123,6 +126,7 @@ object TriangleCount {
       cur.release()
       cur = next
     }
+    lastTwoCoreRounds = it
     LinkGraph(cur.df, g.directed, g.numPartitions)
   }
 }

@@ -90,7 +90,9 @@ private[graft] object Json {
     case c => c.toString
   } + "\""
   def num(d: Double): String =
-    if (d == d.toLong.toDouble) d.toLong.toString else d.toString
+    if (d.isNaN || d.isInfinite) "null" // bare NaN/Infinity is invalid JSON
+    else if (d == d.toLong.toDouble) d.toLong.toString
+    else d.toString
   def obj(fields: (String, String)*): String =
     fields.map { case (k, v) => str(k) + ":" + v }.mkString("{", ",", "}")
   def arr(items: String*): String = items.mkString("[", ",", "]")

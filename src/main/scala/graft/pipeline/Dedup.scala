@@ -97,8 +97,13 @@ object Dedup {
    * token hashes (md5 hex prefix → int). Deterministic and portable —
    * the SQL oracle reproduces it bit-for-bit. */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // Filter empty tokens: split on whitespace yields [""] for
+    // empty/whitespace-only text, but the SQL oracle's
+    // regexp_extract_all('\S+') yields zero rows — both sides must
+    // drop token-less documents identically.
     val toks = docs.select(col(idCol),
-      explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
     val h = toks.select(col(idCol),
       conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("th"))
     val votes = (0 until 32).map { j =>

@@ -75,6 +75,12 @@ object GraphQueries {
     LinkGraph(allEdges(spark, sfDir), directed = false,
       spark.sessionState.conf.numShufflePartitions)
 
+  /** Deterministic per-vertex weights for the weighted similarity
+   * queries: vw = id % 7 + 1 (reproducible by the SQL oracle). */
+  private def vertexWeights(s: SparkSession, dir: String): DataFrame =
+    chainEdges(s, dir).select(col(SRC).as(ID)).distinct()
+      .select(col(ID), (pmod(col(ID), lit(7L)) + 1).cast("double").as("vw"))
+
   // ---------------------------------------------------------------- //
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -141,26 +147,13 @@ object GraphQueries {
         .distinct()
     }),
 
-    "q_jaccard" -> ((s, dir) => {
-      // Jaccard over neighbor sets for each chain edge with src < dst
-      // (reference similarity family:
-      //  cpp/src/link_prediction/similarity_impl.cuh). Exported as
-      // integer micro-Jaccard.
-      val e = chainEdges(s, dir)
-      val adj = e.groupBy(col(SRC).as(ID))
-        .agg(sort_array(collect_set(col(DST))).as("nbrs"),
-          count(lit(1)).as("deg"))
-      val aU = adj.select(col(ID).as(SRC), col("nbrs").as("nu"), col("deg").as("du"))
-      val aV = adj.select(col(ID).as(DST), col("nbrs").as("nv"), col("deg").as("dv"))
-      e.filter(col(SRC) < col(DST))
-        .join(aU, Seq(SRC)).join(aV, Seq(DST))
+    "q_jaccard" -> ((s, dir) =>
+      // Drives the library operator itself (reference similarity
+      // family: cpp/src/link_prediction/similarity_impl.cuh), so the
+      // green CORRECTNESS row certifies Similarity.run, not a copy.
+      Similarity.run(chainGraph(s, dir), Similarity.Jaccard)
         .select(col(SRC), col(DST),
-          size(array_intersect(col("nu"), col("nv"))).cast("long").as("inter"),
-          col("du"), col("dv"))
-        .select(col(SRC), col(DST),
-          round(col("inter") * 1e6 / (col("du") + col("dv") - col("inter")), 0)
-            .cast("long").as("jac_micro"))
-    }),
+          round(col("jaccard") * 1e6, 0).cast("long").as("jac_micro"))),
 
     "q_symmetrize" -> ((s, dir) => {
       // Directed weighted pairs -> canonical undirected edge list with
@@ -232,6 +225,26 @@ object GraphQueries {
         .select(col(SRC), col(DST),
           round(col("sorensen") * 1e6, 0).cast("long").as("sor_micro"))
     }),
+
+    // Weighted similarity family (reference algorithms.hpp:62-136):
+    // per-vertex weight vw = id % 7 + 1 (deterministic, SQL-expressible).
+    "q_wjaccard" -> ((s, dir) =>
+      Similarity.runWeighted(chainGraph(s, dir), Similarity.Jaccard,
+          vertexWeights(s, dir))
+        .select(col(SRC), col(DST),
+          round(col("wjaccard") * 1e6, 0).cast("long").as("wjac_micro"))),
+
+    "q_wsorensen" -> ((s, dir) =>
+      Similarity.runWeighted(chainGraph(s, dir), Similarity.Sorensen,
+          vertexWeights(s, dir))
+        .select(col(SRC), col(DST),
+          round(col("wsorensen") * 1e6, 0).cast("long").as("wsor_micro"))),
+
+    "q_woverlap" -> ((s, dir) =>
+      Similarity.runWeighted(chainGraph(s, dir), Similarity.Overlap,
+          vertexWeights(s, dir))
+        .select(col(SRC), col(DST),
+          round(col("woverlap") * 1e6, 0).cast("long").as("wovl_micro"))),
 
     "q_overlap" -> ((s, dir) => {
       Similarity.run(chainGraph(s, dir), Similarity.Overlap)
@@ -520,12 +533,15 @@ object GraphQueries {
       |      min(CASE WHEN e.w = 0
       |            THEN struct_pack(d := t.dist, p := t.pred) END) AS cur
       |    FROM sss t JOIN eplus e ON t.v = e.src
-      |    WHERE t.iter < 60
+      |    -- Bound = 200 supersteps, same as q_bfs: Bellman-Ford needs
+      |    -- at most (weighted hop depth) rounds; the engine runs to
+      |    -- fixpoint, so this only has to exceed the sf's hop depth.
+      |    WHERE t.iter < 200
       |    GROUP BY e.dst
       |  ) s
       |)
       |SELECT v AS id, dist AS distance, pred AS predecessor
-      |FROM sss WHERE iter = 60 AND dist < 1e17""".stripMargin,
+      |FROM sss WHERE iter = 200 AND dist < 1e17""".stripMargin,
 
     "q_random_walks" -> s"""${recChain},
       |adj AS (
@@ -548,6 +564,61 @@ object GraphQueries {
 
     "q_sorensen" -> similaritySql("2.0 * i / (da + db)", "sor_micro"),
     "q_overlap" -> similaritySql("i / least(da, db)", "ovl_micro"),
+
+    "q_wjaccard" -> weightedSimilaritySql("i / (da + db - i)", "wjac_micro"),
+    "q_wsorensen" -> weightedSimilaritySql("2.0 * i / (da + db)", "wsor_micro"),
+    "q_woverlap" -> weightedSimilaritySql("i / least(da, db)", "wovl_micro"),
+
+    // H-index iteration mirroring the engine exactly (init c = degree,
+    // c' = min(c, h-index of neighbor values)); 30 fixed rounds —
+    // monotone convergence makes extra rounds no-ops, and the engine
+    // fixpoint at sf0.01 is 14 supersteps (IterProbe).
+    "q_core_number" -> s"""${recChain},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
+      |eplus AS (
+      |  SELECT src, dst, 1 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0 FROM verts
+      |),
+      |cn(iter, v, c) AS (
+      |  SELECT 0, verts.v, coalesce(d.d, 0)
+      |  FROM verts LEFT JOIN deg d ON verts.v = d.v
+      |  UNION ALL
+      |  SELECT iter + 1, v, least(cur, coalesce(h, cur))
+      |  FROM (
+      |    SELECT max(x.iter) AS iter, x.dst AS v,
+      |      max(CASE WHEN x.w = 0 THEN x.c END) AS cur,
+      |      max(CASE WHEN x.w > 0 THEN least(x.c, x.r) END) AS h
+      |    FROM (
+      |      SELECT t.iter AS iter, e.dst AS dst, t.c AS c, e.w AS w,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY e.dst, (e.w > 0) ORDER BY t.c DESC)
+      |          AS BIGINT) AS r
+      |      FROM cn t JOIN eplus e ON t.v = e.src
+      |      WHERE t.iter < 30
+      |    ) x
+      |    GROUP BY x.dst
+      |  ) y
+      |)
+      |SELECT v AS id, CAST(c AS BIGINT) AS core_number
+      |FROM cn WHERE iter = 30""".stripMargin,
+
+    // 2-core peel: drop edges with an endpoint of degree < 2 until
+    // stable (10 fixed rounds; the peel is a no-op once stable, and the
+    // engine fixpoint at sf0.01 is 1 round). Degrees via window (the
+    // recursive term may reference the CTE once only).
+    "q_core2" -> s"""${recChain},
+      |core(iter, src, dst) AS (
+      |  SELECT 0, src, dst FROM edges
+      |  UNION ALL
+      |  SELECT iter + 1, src, dst FROM (
+      |    SELECT e.iter AS iter, e.src AS src, e.dst AS dst,
+      |      count(*) OVER (PARTITION BY e.src) AS ds,
+      |      count(*) OVER (PARTITION BY e.dst) AS dd
+      |    FROM core e WHERE e.iter < 10
+      |  ) x WHERE ds >= 2 AND dd >= 2
+      |)
+      |SELECT DISTINCT src AS id FROM core WHERE iter = 10""".stripMargin,
 
     "q_egonet" -> s"""$CHAIN,
       |seeds AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 3),
@@ -620,6 +691,37 @@ object GraphQueries {
       |    CAST(a.d AS DOUBLE) AS da, CAST(b.d AS DOUBLE) AS db
       |  FROM edges e0
       |  JOIN deg a ON a.v = e0.src JOIN deg b ON b.v = e0.dst
+      |  LEFT JOIN common c ON c.src = e0.src AND c.dst = e0.dst
+      |  WHERE e0.src < e0.dst
+      |) e""".stripMargin
+
+  /** Weighted similarity skeleton (vertex weight vw = v % 7 + 1):
+   * W(N(v)) per vertex and W(A ∩ B) per pair; `formula` uses
+   * i (intersection weight), da, db (neighborhood weights). */
+  private def weightedSimilaritySql(formula: String, outCol: String): String =
+    s"""$CHAIN,
+      |vw AS (SELECT DISTINCT src AS v, CAST(src % 7 + 1 AS DOUBLE) AS w
+      |       FROM edges),
+      |nbrw AS (
+      |  SELECT e.src AS v, sum(w.w) AS d
+      |  FROM edges e JOIN vw w ON w.v = e.dst GROUP BY e.src
+      |),
+      |common AS (
+      |  SELECT e.src, e.dst, sum(w.w) AS i
+      |  FROM edges e
+      |  JOIN edges n1 ON n1.src = e.src
+      |  JOIN edges n2 ON n2.src = e.dst AND n2.dst = n1.dst
+      |  JOIN vw w ON w.v = n1.dst
+      |  WHERE e.src < e.dst
+      |  GROUP BY e.src, e.dst
+      |)
+      |SELECT e.src, e.dst,
+      |  CAST(round(($formula) * 1e6, 0) AS BIGINT) AS $outCol
+      |FROM (
+      |  SELECT e0.src, e0.dst,
+      |    CAST(coalesce(c.i, 0) AS DOUBLE) AS i, a.d AS da, b.d AS db
+      |  FROM edges e0
+      |  JOIN nbrw a ON a.v = e0.src JOIN nbrw b ON b.v = e0.dst
       |  LEFT JOIN common c ON c.src = e0.src AND c.dst = e0.dst
       |  WHERE e0.src < e0.dst
       |) e""".stripMargin

@@ -219,7 +219,7 @@ object TextQueries {
       """SELECT doc_id,
         |  CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
         |       ELSE 'video/mp4' END AS media_type,
-        |  CAST(length(text) AS BIGINT) AS n_bytes,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  ('0x' || substr(md5(text), 1, 6))::BIGINT % 1920 + 1 AS width,
         |  ('0x' || substr(md5(text), 7, 6))::BIGINT % 1080 + 1 AS height,
         |  ('0x' || substr(md5(text), 13, 6))::BIGINT % 600 + 1 AS duration_s,
