@@ -19,9 +19,10 @@ object SparkEntry {
       EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops (the
-    * q_web_* pipeline runs on the synthesized corpus → rows-only check;
-    * correctness pinned in sbt test vs reference oracles). */
+    * the same parquet tables. The q_web_* oracles read the corpus dump
+    * Verify writes (input data, not engine output) and recompute the
+    * whole extract→renumber→algorithm pipeline in SQL. */
   def oracleSql: Map[String, String] =
-    GraphQueries.oracleSql ++ TextQueries.oracleSql ++ EventQueries.oracleSql
+    GraphQueries.oracleSql ++ WebQueries.oracleSql ++
+      TextQueries.oracleSql ++ EventQueries.oracleSql
 }

@@ -20,6 +20,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The q_web_* oracles recompute the pipeline from the raw corpus;
+    // dump it (input data, deterministic function of the pinned seed)
+    // where their static SQL expects it.
+    if (SparkEntry.oracleSql.keys.exists(k => k.startsWith("q_web_") && selected(k)))
+      graft.queries.WebQueries.dumpCorpus(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

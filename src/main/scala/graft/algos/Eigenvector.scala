@@ -37,39 +37,47 @@ object Eigenvector {
       return Result(g.spark.emptyDataFrame, 0, converged = true)
     }
 
+    // State carries UNNORMALIZED sums plus a driver-side norm scalar:
+    // the L2 aggregation is then also the action that materializes the
+    // superstep (one job per iteration; the L1 convergence check adds
+    // a second only when tol > 0 — tol=0 is the fixed-iteration /
+    // oracle-parity path). `old` stores the previous NORMALIZED value.
+    var norm = 1.0
     var state = Lineage.materialize(
-      verts.df.select(col(ID), lit(1.0 / v).as("c"), lit(0.0).as("old")),
+      verts.df.select(col(ID), lit(1.0 / v).as("raw"), lit(0.0).as("old")),
       eager = false)
     var iter = 0
     var converged = false
     while (!converged && iter < cfg.maxIter) {
       iter += 1
       val msgs = g.edges
-        .join(state.df.select(col(ID), col("c")).hint("shuffle_hash"),
+        .join(state.df.select(col(ID), (col("raw") / norm).as("c"))
+            .hint("shuffle_hash"),
           g.edges(SRC) === col(ID))
         .select(col(DST), (col("c") * col(WEIGHT)).as("m"))
         .groupBy(DST).agg(sum("m").as("m"))
-      val raw = Lineage.materialize(
+      val next = Lineage.materialize(
         state.df.join(msgs.hint("shuffle_hash"),
             state.df(ID) === msgs(DST), "left")
           .select(state.df(ID),
             coalesce(col("m"), lit(0.0)).as("raw"),
-            state.df("c").as("old")),
+            (state.df("raw") / norm).as("old")),
         eager = false)
       val l2 = math.sqrt(
-        raw.df.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
-      val next = Lineage.materialize(
-        raw.df.select(col(ID), (col("raw") / l2).as("c"), col("old")),
-        eager = false)
-      val l1 = next.df.agg(sum(abs(col("c") - col("old")))).head().getDouble(0)
-      converged = l1 < v * cfg.tol
-      raw.release()
+        next.df.agg(sum(col("raw") * col("raw"))).head().getDouble(0))
+      if (cfg.tol > 0.0) {
+        val l1 = next.df.agg(sum(abs(col("raw") / l2 - col("old"))))
+          .head().getDouble(0)
+        converged = l1 < v * cfg.tol
+      }
+      norm = l2
       state.release()
       state = next
     }
 
     verts.release()
     if (!callerCached) g.unpersist()
-    Result(state.df.select(col(ID), col("c").as("eigenvector")), iter, converged)
+    Result(state.df.select(col(ID), (col("raw") / norm).as("eigenvector")),
+      iter, converged)
   }
 }

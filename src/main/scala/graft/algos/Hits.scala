@@ -54,62 +54,71 @@ object Hits {
       return Result(g.spark.emptyDataFrame, 0, converged = true)
     }
 
-    // State: (id, hub, auth)
+    // State carries UNNORMALIZED sums (hub_raw, auth_raw) plus
+    // driver-side max-norm scalars: the max aggregation is then also
+    // the action that materializes the superstep — one job per
+    // iteration (plus the L1 check only when tol > 0; tol=0 is the
+    // fixed-iteration / oracle-parity path). prev_hub stores the
+    // previous NORMALIZED hub for the L1 diff.
+    var hubNorm = 1.0
+    var authNorm = 1.0
     var state = Lineage.materialize(
-      verts.df.select(col(ID), lit(1.0 / v).as("hub"), lit(0.0).as("auth")),
+      verts.df.select(col(ID), lit(1.0 / v).as("hub_raw"),
+        lit(0.0).as("auth_raw")),
       eager = false)
     var iter = 0
     var converged = false
     while (!converged && iter < cfg.maxIter) {
       iter += 1
-      // auth_raw(v) = sum of hub(u) over in-edges
+      // auth_raw(v) = sum of hub(u) over in-edges (hub normalized lazily)
       val authRaw = fwd
-        .join(state.df.select(col(ID), col("hub")).hint("shuffle_hash"),
+        .join(state.df.select(col(ID), (col("hub_raw") / hubNorm).as("hub"))
+            .hint("shuffle_hash"),
           fwd(SRC) === col(ID))
         .select(col(DST).as(ID), col("hub").as("m"))
-        .groupBy(ID).agg(sum("m").as("auth_raw"))
+        .groupBy(ID).agg(sum("m").as("auth_in"))
       // hub_raw(u) = sum of auth_raw(v) over out-edges (gather via rev)
       val hubRaw = rev
         .join(authRaw.hint("shuffle_hash"), rev(DST) === authRaw(ID))
-        .select(rev(SRC).as(ID), col("auth_raw").as("m"))
-        .groupBy(ID).agg(sum("m").as("hub_raw"))
+        .select(rev(SRC).as(ID), col("auth_in").as("m"))
+        .groupBy(ID).agg(sum("m").as("hub_in"))
 
-      val joined = Lineage.materialize(
+      val next = Lineage.materialize(
         state.df
           .join(authRaw.withColumnRenamed(ID, "va").hint("shuffle_hash"),
             state.df(ID) === col("va"), "left")
           .join(hubRaw.withColumnRenamed(ID, "vh").hint("shuffle_hash"),
             state.df(ID) === col("vh"), "left")
           .select(state.df(ID),
-            coalesce(col("hub_raw"), lit(0.0)).as("hub_raw"),
-            coalesce(col("auth_raw"), lit(0.0)).as("auth_raw"),
-            state.df("hub").as("prev_hub")),
+            coalesce(col("hub_in"), lit(0.0)).as("hub_raw"),
+            coalesce(col("auth_in"), lit(0.0)).as("auth_raw"),
+            (state.df("hub_raw") / hubNorm).as("prev_hub")),
         eager = false)
 
-      val m = joined.df.agg(max("hub_raw"), max("auth_raw")).head()
+      val m = next.df.agg(max("hub_raw"), max("auth_raw")).head()
       val (hubMax, authMax) = (m.getDouble(0), m.getDouble(1))
-
-      val next = Lineage.materialize(
-        joined.df.select(col(ID),
-          (col("hub_raw") / hubMax).as("hub"),
-          (col("auth_raw") / authMax).as("auth"),
-          col("prev_hub")),
-        eager = false)
-      val l1 = next.df.agg(sum(abs(col("hub") - col("prev_hub"))))
-        .head().getDouble(0)
-      converged = l1 < cfg.tol
-      joined.release()
+      if (cfg.tol > 0.0) {
+        val l1 = next.df
+          .agg(sum(abs(col("hub_raw") / hubMax - col("prev_hub"))))
+          .head().getDouble(0)
+        converged = l1 < cfg.tol
+      }
+      hubNorm = hubMax
+      authNorm = authMax
       state.release()
       state = next
     }
 
+    val normalized = state.df.select(col(ID),
+      (col("hub_raw") / hubNorm).as("hub"),
+      (col("auth_raw") / authNorm).as("auth"))
     val out =
       if (cfg.normalize) {
-        val s = state.df.agg(sum("hub"), sum("auth")).head()
-        state.df.select(col(ID),
+        val s = normalized.agg(sum("hub"), sum("auth")).head()
+        normalized.select(col(ID),
           (col("hub") / s.getDouble(0)).as("hub"),
           (col("auth") / s.getDouble(1)).as("auth"))
-      } else state.df.select(col(ID), col("hub"), col("auth"))
+      } else normalized
 
     verts.release()
     rev.unpersist()

@@ -4,8 +4,8 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
-import graft.core.{Lineage, LinkGraph}
-import graft.core.LinkGraph.{DST, ID, SRC}
+import graft.core.{DenseRank, Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, SRC}
 
 /**
  * Uniform random walks (reference contract
@@ -16,10 +16,20 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  *
  * Determinism: the reference uses device RNG; we pin a SPLITTABLE
  * deterministic choice — neighbor index = md5(seed:start:step) mod
- * out-degree over the SORTED neighbor list — so results are identical
- * across partitionings/cluster sizes AND reproducible by the SQL
- * oracle (md5 is engine-independent). Statistically this is a fixed
- * hash stream per (walk, step), the standard counter-based RNG idea.
+ * out-degree over the dst-ascending neighbor order — so results are
+ * identical across partitionings/cluster sizes AND reproducible by the
+ * SQL oracle (md5 is engine-independent). Statistically this is a
+ * fixed hash stream per (walk, step), the standard counter-based RNG
+ * idea.
+ *
+ * Physical plan (hub-safe): the adjacency is an INDEXED EDGE TABLE
+ * (src, idx, dst) with idx = rank of dst among src's neighbors —
+ * built once via the scale-safe [[DenseRank]] (global rank minus the
+ * src's first rank; no per-src window sort, no collect_list arrays,
+ * constant row width). Each step joins walkers to edges on the
+ * composite key (src, idx); the edge table is cached hash-partitioned
+ * on exactly that key, so per step only the (tiny) walker frame
+ * shuffles — never the edges.
  *
  * Returns (start, step, vertex): step 0 is the start vertex itself.
  */
@@ -35,18 +45,27 @@ object RandomWalks {
     val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
 
-    // Sorted adjacency arrays: deterministic neighbor indexing.
-    val adj = g.edges.select(SRC, DST).distinct()
-      .groupBy(col(SRC).as("v"))
-      .agg(sort_array(collect_list(col(DST))).as("nbrs"))
+    val edges = g.edges.select(SRC, DST).distinct()
+    // idx = dense per-src neighbor index in dst-ascending order:
+    // global (src, dst) rank minus the src's first rank.
+    val ranked = DenseRank.assign(edges,
+      Seq(col(SRC).asc, col(DST).asc), p, "r")
+    val base = ranked.groupBy(SRC)
+      .agg(min(col("r")).as("r0"), count(lit(1)).as("deg"))
+    val indexed = ranked.alias("rk")
+      .join(base.alias("bs"), col(s"rk.$SRC") === col(s"bs.$SRC"))
+      .select(col(s"rk.$SRC").as(SRC),
+        (col("rk.r") - col("bs.r0")).as("idx"), col(s"rk.$DST").as(DST))
+      .repartition(p, col(SRC), col("idx"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val degs = base.select(col(SRC).as("v"), col("deg"))
       .repartition(p, col("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var cur = Lineage.materialize(
       starts.select(col(starts.columns.head).as("start"))
         .withColumn("step", lit(0L))
-        .withColumn("vertex", col("start"))
-        .repartition(p, col("vertex")),
+        .withColumn("vertex", col("start")),
       eager = false)
     val segments = scala.collection.mutable.ArrayBuffer[Lineage.Handle](cur)
     var out = cur.df
@@ -56,12 +75,15 @@ object RandomWalks {
       val h = conv(substring(
         md5(concat_ws(":", lit(cfg.seed), col("start"), lit(step))), 1, 8),
         16, 10).cast("long")
+      val chosen = cur.df
+        .join(degs.hint("shuffle_hash"), cur.df("vertex") === degs("v")) // sinks drop out
+        .select(col("start"), pmod(h, col("deg")).as("choice"), col("vertex"))
       val next = Lineage.materialize(
-        cur.df.join(adj, cur.df("vertex") === adj("v")) // sinks drop out
+        chosen.join(indexed,
+            chosen("vertex") === indexed(SRC) &&
+            chosen("choice") === indexed("idx"))
           .select(col("start"), lit(step.toLong).as("step"),
-            element_at(col("nbrs"),
-              (pmod(h, size(col("nbrs"))) + 1).cast("int")).as("vertex"))
-          .repartition(p, col("vertex")))
+            indexed(DST).as("vertex")))
       segments += next
       out = out.union(next.df)
       cur = next
@@ -69,7 +91,8 @@ object RandomWalks {
 
     val result = Lineage.materialize(out)
     segments.foreach(_.release())
-    adj.unpersist()
+    indexed.unpersist()
+    degs.unpersist()
     if (!callerCached) g.unpersist()
     result.df
   }

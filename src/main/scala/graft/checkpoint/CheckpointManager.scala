@@ -1,7 +1,8 @@
 package graft.checkpoint
 
-import java.nio.file.{Files, Path, Paths}
-import scala.jdk.CollectionConverters._
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.{FileSystem, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -21,8 +22,14 @@ import org.apache.spark.sql.functions._
  */
 final class CheckpointManager(val root: String, spark: SparkSession) {
 
+  // Hadoop FS API, not java.nio: the checkpoint root may be HDFS / S3A
+  // / any Hadoop-supported scheme on a real cluster; plain local paths
+  // resolve to the local FS in the sandbox.
+  private def fs(p: Path): FileSystem =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
   private def stepDir(algo: String, iter: Int): Path =
-    Paths.get(root, algo, f"iter=$iter%05d")
+    new Path(new Path(root, algo), f"iter=$iter%05d")
 
   /**
    * Commit one superstep: data first, manifest last. Returns the
@@ -35,7 +42,7 @@ final class CheckpointManager(val root: String, spark: SparkSession) {
       state: DataFrame,
       metrics: Map[String, Double]): DataFrame = {
     val dir = stepDir(algo, iter)
-    val dataDir = dir.resolve("data").toString
+    val dataDir = new Path(dir, "data").toString
     state.write.mode("overwrite").parquet(dataDir)
 
     // Per-partition lineage: rows per output file of this snapshot.
@@ -54,28 +61,40 @@ final class CheckpointManager(val root: String, spark: SparkSession) {
       "schema" -> Json.str(state.schema.json),
       "metrics" -> Json.obj(metrics.toSeq.map { case (k, v) => k -> Json.num(v) }: _*),
       "partitions" -> Json.arr(partCounts.toIndexedSeq: _*))
-    Files.writeString(dir.resolve("manifest.json"), manifest)
+    val mPath = new Path(dir, "manifest.json")
+    val out = fs(mPath).create(mPath, true)
+    try out.write(manifest.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
     reread
   }
 
   /** Latest committed iteration for `algo`, if any. */
   def latestIteration(algo: String): Option[Int] = {
-    val d = Paths.get(root, algo)
-    if (!Files.isDirectory(d)) return None
-    val iters = Files.list(d).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("iter=") &&
-        Files.exists(p.resolve("manifest.json")))
-      .map(_.getFileName.toString.stripPrefix("iter=").toInt)
-      .toSeq
+    val d = new Path(root, algo)
+    val f = fs(d)
+    if (!f.exists(d) || !f.getFileStatus(d).isDirectory) return None
+    val iters = f.listStatus(d).toSeq
+      .filter(st => st.getPath.getName.startsWith("iter=") &&
+        f.exists(new Path(st.getPath, "manifest.json")))
+      .map(_.getPath.getName.stripPrefix("iter=").toInt)
     if (iters.isEmpty) None else Some(iters.max)
   }
 
   /** Re-open the committed state of (algo, iter). */
   def restore(algo: String, iter: Int): DataFrame =
-    spark.read.parquet(stepDir(algo, iter).resolve("data").toString)
+    spark.read.parquet(new Path(stepDir(algo, iter), "data").toString)
 
-  def manifestJson(algo: String, iter: Int): String =
-    Files.readString(stepDir(algo, iter).resolve("manifest.json"))
+  def manifestJson(algo: String, iter: Int): String = {
+    val mPath = new Path(stepDir(algo, iter), "manifest.json")
+    val in = fs(mPath).open(mPath)
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      new String(bytes.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
 }
 
 /** Minimal JSON writer (no external deps in the offline sandbox). */

@@ -4,8 +4,6 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.corpus.Rmat
-
 /**
  * Similarity search over an embedding column (array<float>).
  *
@@ -66,10 +64,15 @@ object Ann {
 
   /** Deterministic hyperplane component for (seed, plane, dim) ∈ {-1,+1}.
    * Sign-random-projection only needs signs, so ±1 hyperplanes are
-   * standard and keep the bucket key computation integer-only. */
-  private def planeSign(seed: Long, plane: Int, d: Int): Double =
-    if ((Rmat.mix64(seed ^ (plane.toLong << 32) ^ d.toLong) & 1L) == 0L) -1.0
-    else 1.0
+   * standard and keep the bucket key computation integer-only. The
+   * sign is the parity of the first md5 byte of "seed:plane:dim" —
+   * md5 so the DuckDB oracle reproduces the planes bit-for-bit
+   * (evaluated once per (plane, dim) at plan-build time, never per row). */
+  private def planeSign(seed: Long, plane: Int, d: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$seed:$plane:$d".getBytes("UTF-8"))
+    if ((h(0) & 1) == 0) -1.0 else 1.0
+  }
 
   /**
    * LSH-bucketed approximate top-k: `tables` independent hash tables of

@@ -72,8 +72,9 @@ object TextQueries {
       Ann.nearDupPairs(emb(s, dir), "vec_id", "embedding", "label",
         thresholdMicro = 300000L)),
 
-    // Spark-only scale path (hyperplane LSH): rows-only check; its
-    // recall vs the exact top-k is asserted in AnnSpec.
+    // Hyperplane-LSH scale path; the oracle reproduces the md5-derived
+    // hyperplane signs, bucket keys, and re-rank in SQL (recall vs the
+    // exact top-k is additionally asserted in AnnSpec).
     "q_embed_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
       Ann.lshCosineTopK(e, e.filter(col("vec_id") < 10),
@@ -225,6 +226,55 @@ object TextQueries {
         |  ('0x' || substr(md5(text), 13, 6))::BIGINT % 600 + 1 AS duration_s,
         |  md5(text) AS content_hash
         |FROM documents""".stripMargin,
+
+    "q_embed_ann_lsh" ->
+      """WITH signs AS (
+        |  -- planeSign(42, tbl*8+p, d): parity of the first md5 byte
+        |  SELECT t.t AS tbl, p.p AS plane, d.d AS dim,
+        |    CASE WHEN ('0x' || substr(
+        |        md5(42 || ':' || (t.t * 8 + p.p) || ':' || d.d), 1, 2))::INT
+        |        % 2 = 0
+        |      THEN -1.0 ELSE 1.0 END AS sgn
+        |  FROM generate_series(0, 3) t(t),
+        |       generate_series(0, 7) p(p),
+        |       generate_series(0, 63) d(d)
+        |),
+        |comps AS (
+        |  SELECT vec_id, CAST(i AS INT) AS pos,
+        |    CAST(embedding[CAST(i AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) t(i)
+        |),
+        |proj AS (
+        |  SELECT c.vec_id, s.tbl, s.plane, sum(c.x * s.sgn) AS pr
+        |  FROM comps c JOIN signs s ON s.dim = c.pos - 1
+        |  GROUP BY c.vec_id, s.tbl, s.plane
+        |),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN pr >= 0 THEN CAST(1 AS BIGINT) << plane
+        |        ELSE 0 END) AS bkt
+        |  FROM proj GROUP BY vec_id, tbl
+        |),
+        |cands AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bkt = c.bkt
+        |  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id
+        |),
+        |scored AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(round(list_cosine_similarity(
+        |      CAST(a.embedding AS DOUBLE[]),
+        |      CAST(b.embedding AS DOUBLE[])) * 1e6, 0) AS BIGINT) AS cos_micro
+        |  FROM cands
+        |  JOIN embeddings a ON a.vec_id = query_id
+        |  JOIN embeddings b ON b.vec_id = neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM scored
+        |) WHERE rank <= 5""".stripMargin,
 
     "q_multimodal_frames" ->
       """WITH dec AS (

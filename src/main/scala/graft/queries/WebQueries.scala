@@ -13,18 +13,36 @@ import graft.extract.{LinkExtractor, WebGraph}
  * text, lang), run the pinned extractor, build the renumbered link
  * graph, run the algorithms, unrenumber back to urls.
  *
- * These have no DuckDB oracle (the corpus is not part of the shared
- * parquet input), so the round driver records rows-only checks;
- * correctness is pinned by the sbt suite, which compares the same
- * pipeline against the ported reference oracles
- * (WebGraphPipelineSpec / ExtractorSpec).
+ * DuckDB oracles: [[graft.Verify]] dumps the corpus itself (input
+ * data, not engine output) to [[CorpusDumpDir]]; each oracle reads it
+ * back with read_parquet, re-extracts the links with the same pinned
+ * regexes (RE2 lacks backreferences, so the script|style alternation
+ * is expanded — equivalent for these patterns), re-renumbers
+ * (degree-descending, ties by url — [[graft.core.Renumber]]), and
+ * recomputes the algorithm as a recursive CTE. The extract oracle
+ * reads text lengths from the corpus' precomputed `text` column,
+ * which equals the engine's Catalyst extraction by the pinned
+ * byte-identical invariant (property-tested in ExtractorSpec).
  */
 object WebQueries {
 
   // Small deterministic corpus for the verify path; Bench scales up.
+  // EdgeFactor 2 keeps the RMAT graph sparse enough to have several
+  // weak components, so the WCC/LPA oracles check real structure
+  // instead of one giant blob.
   private val Seed = 42L
   private val Scale = 9
-  private val EdgeFactor = 8
+  private val EdgeFactor = 2
+
+  /** Where Verify dumps the corpus parquet for the DuckDB oracles.
+   * Absolute path (inside the repo's target dir) because the oracle
+   * SQL is static text executed by the driver's DuckDB process. */
+  val CorpusDumpDir = "/root/repo/target/verify_corpus/pages"
+
+  /** PageRank iterations for q_web_pagerank_top10: fixed count (tol=0)
+   * so the recursive-CTE oracle runs the identical computation. */
+  private val PrIters = 20
+  private val LpaIters = 5
 
   // Memoize corpus + built graph per session: the driver's Verify/Bench
   // run every query independently, and without this each q_web_* would
@@ -50,6 +68,11 @@ object WebQueries {
       }
     }
 
+  /** Write the synthesized corpus (INPUT data, not engine output) so
+   * the DuckDB oracles can recompute the pipeline independently. */
+  def dumpCorpus(s: SparkSession): Unit =
+    corpus(s).coalesce(1).write.mode("overwrite").parquet(CorpusDumpDir)
+
   private def parts(s: SparkSession): Int =
     s.sessionState.conf.numShufflePartitions
 
@@ -68,40 +91,197 @@ object WebQueries {
     }),
 
     "q_web_pagerank_top10" -> ((s, _) => {
-      val built = WebGraph.fromPages(corpus(s), parts(s))
-      val r = PageRank.run(built.graph, PageRank.Config(tol = 1e-6))
+      val b = built(s)._2
+      val r = PageRank.run(b.graph,
+        PageRank.Config(alpha = 0.85, tol = 0.0, maxIter = PrIters))
       WebGraph.withUrls(
           r.ranks.select(col("id"),
             round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro")),
-          built.urlMap)
+          b.urlMap)
         .select("url", "pr_micro")
         .orderBy(col("pr_micro").desc, col("url"))
         .limit(10)
     }),
 
     "q_web_wcc" -> ((s, _) => {
-      val built = WebGraph.fromPages(corpus(s), parts(s))
-      val comps = ConnectedComponents.run(built.graph.symmetrize).components
+      val b = built(s)._2
+      val comps = ConnectedComponents.run(b.graph.symmetrize).components
       comps.groupBy("component").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("component"))
     }),
 
     "q_web_lpa" -> ((s, _) => {
-      val built = WebGraph.fromPages(corpus(s), parts(s))
+      val b = built(s)._2
       val labels = LabelPropagation
-        .run(built.graph.symmetrize, LabelPropagation.Config(maxIter = 5))
+        .run(b.graph.symmetrize, LabelPropagation.Config(maxIter = LpaIters))
         .labels
       labels.groupBy("label").agg(count(lit(1)).as("size"))
         .orderBy(col("size").desc, col("label"))
     }),
 
     "q_web_triangles" -> ((s, _) => {
-      val built = WebGraph.fromPages(corpus(s), parts(s))
-      val per = TriangleCount.run(built.graph.symmetrize)
-      WebGraph.withUrls(per, built.urlMap)
+      val b = built(s)._2
+      val per = TriangleCount.run(b.graph.symmetrize)
+      WebGraph.withUrls(per, b.urlMap)
         .select("url", "triangles")
         .orderBy(col("triangles").desc, col("url"))
         .limit(20)
     })
+  )
+
+  // ---------------- DuckDB oracles ----------------
+
+  // Pinned href pattern (LinkExtractor.HrefPattern) — RE2-compatible.
+  private val HrefRe = """(?i)<a\s[^>]*href="([^"]*)"[^>]*>"""
+
+  /** Shared prefix: corpus → extracted links → degree-descending
+   * renumber → directed renumbered edge table (parallel edges kept,
+   * exactly [[graft.extract.WebGraph.fromPages]]). */
+  private val WEB =
+    s"""WITH RECURSIVE pages AS (
+      |  SELECT * FROM read_parquet('$CorpusDumpDir/*.parquet')
+      |),
+      |links AS (
+      |  SELECT url AS src_url,
+      |    unnest(regexp_extract_all(decode(html), '$HrefRe', 1)) AS dst_url
+      |  FROM pages
+      |),
+      |occ AS (
+      |  SELECT src_url AS url FROM links
+      |  UNION ALL SELECT dst_url FROM links
+      |),
+      |urlmap AS (
+      |  SELECT url, CAST(row_number() OVER (ORDER BY count(*) DESC, url) - 1
+      |    AS BIGINT) AS id
+      |  FROM occ GROUP BY url
+      |),
+      |dedges AS (
+      |  SELECT ms.id AS src, md.id AS dst
+      |  FROM links l
+      |  JOIN urlmap ms ON ms.url = l.src_url
+      |  JOIN urlmap md ON md.url = l.dst_url
+      |)""".stripMargin
+
+  /** Symmetrized, deduped view (LinkGraph.symmetrize on weight-1 edges
+   * = DISTINCT of both directions). */
+  private val SYM =
+    """edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT src, dst FROM dedges
+      |    UNION ALL SELECT dst AS src, src AS dst FROM dedges
+      |  ) t
+      |)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_web_extract" ->
+      s"""$WEB
+        |SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_pages,
+        |  CAST(sum(length(text)) AS BIGINT) AS total_text_len,
+        |  CAST(sum(len(regexp_extract_all(decode(html), '$HrefRe', 1)))
+        |    AS BIGINT) AS total_links
+        |FROM pages GROUP BY lang""".stripMargin,
+
+    "q_web_pagerank_top10" ->
+      s"""$WEB,
+        |verts AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges
+        |  ) t
+        |),
+        |nv AS (SELECT count(*) AS n FROM verts),
+        |outw AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS ow
+        |         FROM dedges GROUP BY src),
+        |eplus AS (
+        |  SELECT src, dst, 1.0 AS w FROM dedges
+        |  UNION ALL SELECT v, v, 0.0 FROM verts
+        |),
+        |pr(iter, v, p) AS (
+        |  SELECT 0, v, 1.0 / (SELECT n FROM nv) FROM verts
+        |  UNION ALL
+        |  SELECT iter + 1, dst,
+        |         0.85 * contrib +
+        |         (0.85 * sum(dpart) OVER () + 0.15) / (SELECT n FROM nv)
+        |  FROM (
+        |    SELECT max(t.iter) AS iter, e.dst AS dst,
+        |           sum(CASE WHEN e.w > 0 THEN t.p * (e.w / o.ow) ELSE 0 END)
+        |             AS contrib,
+        |           sum(CASE WHEN e.w = 0 AND coalesce(o.ow, 0) = 0
+        |                    THEN t.p ELSE 0 END) AS dpart
+        |    FROM pr t
+        |    JOIN eplus e ON t.v = e.src
+        |    LEFT JOIN outw o ON o.v = t.v
+        |    WHERE t.iter < $PrIters
+        |    GROUP BY e.dst
+        |  ) s
+        |)
+        |SELECT u.url, CAST(round(p * 1e6, 0) AS BIGINT) AS pr_micro
+        |FROM pr JOIN urlmap u ON u.id = pr.v
+        |WHERE iter = $PrIters
+        |ORDER BY pr_micro DESC, u.url LIMIT 10""".stripMargin,
+
+    "q_web_wcc" ->
+      s"""$WEB, $SYM,
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |cc(v, comp) AS (
+        |  SELECT v, v FROM verts
+        |  UNION
+        |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.v = e.src
+        |  WHERE cc.comp < e.dst
+        |),
+        |comps AS (SELECT v, min(comp) AS component FROM cc GROUP BY v)
+        |SELECT component, CAST(count(*) AS BIGINT) AS size
+        |FROM comps GROUP BY component""".stripMargin,
+
+    "q_web_lpa" ->
+      s"""$WEB, $SYM,
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |eplus AS (
+        |  SELECT src, dst, 1 AS w FROM edges
+        |  UNION ALL SELECT v, v, 0 FROM verts
+        |),
+        |lp(iter, v, lbl) AS (
+        |  SELECT 0, v, v FROM verts
+        |  UNION ALL
+        |  SELECT iter + 1, dst,
+        |         2147483647 - (max(score) % 4294967296)
+        |  FROM (
+        |    SELECT t.iter AS iter, e.dst AS dst, t.lbl AS lbl,
+        |           CAST(sum(e.w) AS BIGINT) * 4294967296
+        |             + (2147483647 - t.lbl) AS score
+        |    FROM lp t JOIN eplus e ON t.v = e.src
+        |    WHERE t.iter < $LpaIters
+        |    GROUP BY t.iter, e.dst, t.lbl
+        |  ) s
+        |  GROUP BY iter + 1, dst
+        |)
+        |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS size
+        |FROM lp WHERE iter = $LpaIters GROUP BY lbl""".stripMargin,
+
+    "q_web_triangles" ->
+      s"""$WEB, $SYM,
+        |verts AS (SELECT DISTINCT src AS v FROM edges),
+        |simple AS (SELECT src, dst FROM edges WHERE src <> dst),
+        |deg AS (SELECT src AS v, count(*) AS d FROM simple GROUP BY src),
+        |o AS (
+        |  SELECT e.src AS u, e.dst AS v FROM simple e
+        |  JOIN deg a ON a.v = e.src JOIN deg b ON b.v = e.dst
+        |  WHERE a.d < b.d OR (a.d = b.d AND e.src < e.dst)
+        |),
+        |tri AS (
+        |  SELECT o1.u AS a, o1.v AS b, o2.v AS c
+        |  FROM o o1 JOIN o o2 ON o1.v = o2.u
+        |  JOIN o o3 ON o3.u = o1.u AND o3.v = o2.v
+        |),
+        |credits AS (
+        |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri
+        |),
+        |cnt AS (SELECT v, count(*) AS c FROM credits GROUP BY v)
+        |SELECT u.url, CAST(coalesce(c.c, 0) AS BIGINT) AS triangles
+        |FROM verts vv
+        |LEFT JOIN cnt c ON vv.v = c.v
+        |JOIN urlmap u ON u.id = vv.v
+        |ORDER BY triangles DESC, u.url LIMIT 20""".stripMargin
   )
 }
