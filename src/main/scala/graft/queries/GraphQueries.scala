@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, PageRank, RandomWalks, Similarity, Sssp, TriangleCount}
+import graft.algos.{Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, Louvain, PageRank, RandomWalks, Similarity, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 
@@ -204,6 +204,15 @@ object GraphQueries {
         .union(directed.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT)))
         .groupBy(SRC, DST)
         .agg(min(WEIGHT).as(WEIGHT))
+    }),
+
+    "q_louvain" -> ((s, dir) => {
+      // One dendrogram level, exactly 3 fixed inner iterations (the
+      // oracle unrolls the identical computation; multi-level +
+      // Q-driven control is certified by LouvainSpec vs a host oracle).
+      val r = Louvain.run(chainGraph(s, dir),
+        Louvain.Config(maxLevels = 1, fixedInnerIter = 3))
+      r.labels
     }),
 
     "q_core2" -> ((s, dir) => {
@@ -594,6 +603,8 @@ object GraphQueries {
     "q_wsorensen" -> weightedSimilaritySql("2.0 * i / (da + db)", "wsor_micro"),
     "q_woverlap" -> weightedSimilaritySql("i / least(da, db)", "wovl_micro"),
 
+    "q_louvain" -> louvainSql(3),
+
     // H-index iteration mirroring the engine exactly (init c = degree,
     // c' = min(c, h-index of neighbor values)); 30 fixed rounds —
     // monotone convergence makes extra rounds no-ops, and the engine
@@ -719,6 +730,57 @@ object GraphQueries {
       |  LEFT JOIN common c ON c.src = e0.src AND c.dst = e0.dst
       |  WHERE e0.src < e0.dst
       |) e""".stripMargin
+
+  /** Louvain level with `iters` fixed inner iterations, UNROLLED as a
+   * plain CTE chain (the recursive form would need the label CTE
+   * referenced several times per term, which DuckDB's recursion
+   * forbids). Arithmetic is structured IDENTICALLY to
+   * [[graft.algos.Louvain]]'s delta expression — weights are 1.0 so
+   * every aggregate is an integer-valued double and the comparison
+   * `delta > 0` and struct argmax are bit-exact across engines. */
+  private def louvainSql(iters: Int): String = {
+    val prefix = s"""$CHAIN,
+      |vw AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS kk
+      |       FROM edges GROUP BY src),
+      |tw AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM edges),
+      |l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT src AS v FROM edges) q)"""
+      .stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      val pl = s"l${i - 1}"
+      // up_down alternates starting true (louvain_impl.cuh:155,185)
+      val up = if (i % 2 == 1) "TRUE" else "FALSE"
+      s"""a$i AS (SELECT l.lbl, sum(w.kk) AS a
+        |  FROM $pl l JOIN vw w ON w.v = l.v GROUP BY l.lbl),
+        |eb$i AS (SELECT e.src, e.dst, 1.0 AS w, ls.lbl AS lsrc, ld.lbl AS ldst
+        |  FROM edges e JOIN $pl ls ON ls.v = e.src JOIN $pl ld ON ld.v = e.dst),
+        |own$i AS (SELECT src,
+        |    sum(CASE WHEN src <> dst THEN w ELSE 0 END) AS osum,
+        |    sum(CASE WHEN src = dst THEN w ELSE 0 END) AS sub
+        |  FROM eb$i WHERE lsrc = ldst GROUP BY src),
+        |cand$i AS (SELECT src, ldst, sum(w) AS ns FROM eb$i GROUP BY src, ldst),
+        |scored$i AS (
+        |  SELECT c.src, c.ldst,
+        |    2 * (((c.ns
+        |        - CASE WHEN c.ldst = vi.lbl THEN coalesce(o.sub, 0) ELSE 0 END
+        |        - coalesce(o.osum, 0)) / (SELECT t FROM tw))
+        |      - 1.0 * (an.a * vi.kk - ao.a * vi.kk + vi.kk * vi.kk)
+        |        / ((SELECT t FROM tw) * (SELECT t FROM tw))) AS delta
+        |  FROM cand$i c
+        |  JOIN (SELECT l.v, l.lbl, w.kk FROM $pl l JOIN vw w ON w.v = l.v) vi
+        |    ON vi.v = c.src
+        |  JOIN a$i an ON an.lbl = c.ldst
+        |  JOIN a$i ao ON ao.lbl = vi.lbl
+        |  LEFT JOIN own$i o ON o.src = c.src),
+        |best$i AS (SELECT src, max(struct_pack(d := delta, c := -ldst)) AS b
+        |  FROM scored$i GROUP BY src),
+        |l$i AS (
+        |  SELECT l.v,
+        |    CASE WHEN b.b.d > 0 AND ((-b.b.c > l.lbl) = $up)
+        |      THEN -b.b.c ELSE l.lbl END AS lbl
+        |  FROM $pl l LEFT JOIN best$i b ON b.src = l.v)""".stripMargin
+    }.mkString(",\n")
+    s"$prefix,\n$iterCtes\nSELECT v AS id, lbl AS community FROM l$iters"
+  }
 
   /** Weighted similarity skeleton (vertex weight vw = v % 7 + 1):
    * W(N(v)) per vertex and W(A ∩ B) per pair; `formula` uses
