@@ -1,0 +1,174 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, ID, SRC}
+
+/**
+ * Betweenness centrality (sampled Brandes), reference semantics
+ * (`/root/reference/cpp/src/centrality/betweenness_centrality.cu:33-66,
+ * 216-366`, host oracle
+ * `cpp/tests/centrality/legacy/betweenness_centrality_test.cu:58-170`):
+ *
+ *   - per source s: BFS computing dist and shortest-path counts σ;
+ *     then dependency accumulation by DESCENDING depth:
+ *       δ(v) = Σ over successors w (dist_w = dist_v + 1, edge v→w) of
+ *              σ_v/σ_w · (1 + δ_w)
+ *     and bc(w) += δ(w) for w ≠ s;
+ *   - rescale (`betweenness_centrality.cu:368-455`): normalized →
+ *     × 1/((n−1)(n−2)) and × n/k for k sampled sources; unnormalized
+ *     undirected → × 1/2.
+ *
+ * Distributed shape: ALL sampled sources run simultaneously — state is
+ * keyed (source, vertex), so the superstep count is 2×diameter total,
+ * not per source. Forward: level-synchronous frontier expansion with
+ * σ summed by (s, dst) (map-side combinable; the visited anti-join is
+ * co-partitioned on (s, v)). Backward: one join per depth level from
+ * the deepest layer down, δ computed TERM-WISE (σ_v/σ_w·(1+δ_w)
+ * summed per (s, v)) so the SQL oracle reproduces the identical
+ * float arithmetic.
+ *
+ * Sources: explicit list, or the k vertices with smallest
+ * md5(seed:v) (deterministic sampling, the counter-RNG pattern).
+ */
+object Betweenness {
+
+  final case class Config(
+      normalized: Boolean = true,
+      sources: Option[Seq[Long]] = None,
+      k: Int = 8,
+      seed: Long = 42L,
+      maxDepth: Int = 10000)
+
+  /** Returns (id, bc). */
+  def run(g0: LinkGraph, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val p = g.numPartitions
+    val spark = g.spark
+
+    val edges = g.edges.select(SRC, DST)
+    val verts = Lineage.materialize(
+      g.vertices.repartition(p, col(ID)), eager = false)
+    val n = verts.df.count()
+    if (n == 0) {
+      verts.release()
+      if (!callerCached) g.unpersist()
+      return spark.emptyDataFrame
+    }
+
+    val sources: DataFrame = cfg.sources match {
+      case Some(list) =>
+        import spark.implicits._
+        list.toDF("s")
+      case None =>
+        // k smallest md5(seed:v): deterministic, partition-independent.
+        verts.df
+          .withColumn("__h", md5(concat_ws(":", lit(cfg.seed), col(ID))))
+          .orderBy(col("__h"), col(ID)).limit(cfg.k)
+          .select(col(ID).as("s"))
+    }
+    val kUsed = sources.count()
+
+    // ---- forward phase: (s, v, dist, sigma) ----
+    var frontier = Lineage.materialize(
+      sources.select(col("s"), col("s").as("v"), lit(0L).as("dist"),
+        lit(1.0).as("sigma")).repartition(p, col("s"), col("v")),
+      eager = false)
+    var visited = Lineage.materialize(frontier.df)
+    var depth = 0L
+    var frontierSize = visited.df.count()
+
+    while (frontierSize > 0 && depth < cfg.maxDepth) {
+      depth += 1
+      val msgs = frontier.df
+        .join(edges.hint("shuffle_hash"), frontier.df("v") === edges(SRC))
+        .groupBy(col("s"), col(DST).as("v"))
+        .agg(sum("sigma").as("sigma"))
+      val newF = Lineage.materialize(
+        msgs.join(visited.df.select(col("s"), col("v")),
+            Seq("s", "v"), "left_anti")
+          .select(col("s"), col("v"), lit(depth).as("dist"), col("sigma"))
+          .repartition(p, col("s"), col("v")),
+        eager = false)
+      frontierSize = newF.df.count()
+      if (frontierSize > 0) {
+        val newVisited = Lineage.materialize(visited.df.union(newF.df))
+        visited.release()
+        visited = newVisited
+      } else {
+        depth -= 1 // last level had no new vertices
+      }
+      frontier.release()
+      frontier = newF
+    }
+    frontier.release()
+
+    // ---- backward phase: δ accumulation from the deepest layer ----
+    // deltas at the current depth level; rows (s, v, sigma, delta).
+    var level = Lineage.materialize(
+      visited.df.filter(col("dist") === depth)
+        .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta")))
+    // accumulated (s, v, delta) rows for bc.
+    val acc = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
+    acc += level
+
+    val rev = edges.select(col(DST).as("w"), col(SRC).as("v"))
+    var d = depth - 1
+    while (d >= 0) {
+      val vAtD = visited.df.filter(col("dist") === d)
+        .select(col("s"), col("v"), col("sigma"))
+      // term-wise: σ_v/σ_w · (1 + δ_w) per (s, v, w), then sum.
+      val terms = level.df
+        .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
+          col("delta").as("dw"))
+        .join(rev, Seq("w"))
+        .join(vAtD.select(col("s"), col("v"), col("sigma").as("sv")),
+          Seq("s", "v"))
+        .select(col("s"), col("v"),
+          (col("sv") / col("sw") * (lit(1.0) + col("dw"))).as("t"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum("t").as("delta"))
+      val nextLevel = Lineage.materialize(
+        vAtD.join(terms, Seq("s", "v"), "left")
+          .select(col("s"), col("v"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
+      acc += nextLevel
+      level = nextLevel
+      d -= 1
+    }
+
+    val allDeltas = acc.map(_.df.select(col("s"), col("v"), col("delta")))
+      .reduce(_ union _)
+    val factor: Double =
+      if (cfg.normalized) {
+        val base = if (n > 2) 1.0 / ((n - 1.0) * (n - 2.0)) else 1.0
+        // rescale_by_total_sources_used (betweenness_centrality.cu:434):
+        // × n/k for sampled sources.
+        if (n > 2 && kUsed > 0) base * (n.toDouble / kUsed) else base
+      } else {
+        if (!g.directed) 0.5 else 1.0
+      }
+
+    val bc = Lineage.materialize(
+      verts.df.join(
+          allDeltas.filter(col("v") =!= col("s"))
+            .groupBy(col("v")).agg(sum("delta").as("d0"))
+            .withColumnRenamed("v", ID).hint("shuffle_hash"),
+          Seq(ID), "left")
+        .select(col(ID),
+          (coalesce(col("d0"), lit(0.0)) * factor).as("bc")))
+
+    acc.foreach(_.release())
+    visited.release()
+    verts.release()
+    if (!callerCached) g.unpersist()
+    bc.df
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, Louvain, PageRank, RandomWalks, Similarity, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, Louvain, PageRank, RandomWalks, Similarity, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 
@@ -204,6 +204,18 @@ object GraphQueries {
         .union(directed.select(col(DST).as(SRC), col(SRC).as(DST), col(WEIGHT)))
         .groupBy(SRC, DST)
         .agg(min(WEIGHT).as(WEIGHT))
+    }),
+
+    "q_betweenness" -> ((s, dir) => {
+      // Sampled Brandes over the dense co-occurrence graph (diameter 2
+      // at test SFs) from the 4 smallest vertices; micro-rounded.
+      val g = allGraph(s, dir)
+      val srcs = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(4).collect().map(_.getLong(0)).toSeq
+      Betweenness.run(g,
+          Betweenness.Config(normalized = true, sources = Some(srcs)))
+        .select(col(ID),
+          round(col("bc") * 1e6, 0).cast("long").as("bc_micro"))
     }),
 
     "q_louvain" -> ((s, dir) => {
@@ -604,6 +616,7 @@ object GraphQueries {
     "q_woverlap" -> weightedSimilaritySql("i / least(da, db)", "wovl_micro"),
 
     "q_louvain" -> louvainSql(3),
+    "q_betweenness" -> betweennessSql(levels = 4, k = 4),
 
     // H-index iteration mirroring the engine exactly (init c = degree,
     // c' = min(c, h-index of neighbor values)); 30 fixed rounds —
@@ -730,6 +743,71 @@ object GraphQueries {
       |  LEFT JOIN common c ON c.src = e0.src AND c.dst = e0.dst
       |  WHERE e0.src < e0.dst
       |) e""".stripMargin
+
+  /** Sampled-Brandes betweenness over the DENSE graph, UNROLLED to
+   * `levels` BFS levels (diameter at test SFs is 2; extra levels are
+   * empty no-ops). Forward: per-level σ sums with a NOT EXISTS
+   * visited check. Backward: per-depth δ with the engine's exact
+   * term shape σ_v/σ_w·(1+δ_w). k = number of sampled sources
+   * (the k smallest vertex ids). */
+  private def betweennessSql(levels: Int, k: Int): String = {
+    // MATERIALIZED everywhere: these CTEs are referenced repeatedly and
+    // DuckDB would otherwise re-inline (and re-compute) the whole
+    // forward chain per reference.
+    val forward = (1 to levels).map { d =>
+      val pv = d - 1
+      s"""f$d AS MATERIALIZED (
+        |  SELECT p.s, e.dst AS v, $d AS dist, sum(p.sigma) AS sigma
+        |  FROM w$pv p JOIN edges e ON e.src = p.v
+        |  GROUP BY p.s, e.dst),
+        |w$d AS MATERIALIZED (
+        |  SELECT f.s, f.v, f.dist, f.sigma FROM f$d f
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM vis$pv x WHERE x.s = f.s AND x.v = f.v)),
+        |vis$d AS MATERIALIZED (
+        |  SELECT s, v FROM vis$pv UNION ALL SELECT s, v FROM w$d)"""
+        .stripMargin
+    }.mkString(",\n")
+    val allLevels = (0 to levels).map(d => s"SELECT * FROM w$d")
+      .mkString(" UNION ALL ")
+    val backward = (0 until levels).reverse.map { d =>
+      val nx = d + 1
+      s"""t$d AS MATERIALIZED (
+        |  SELECT l.s, e.src AS v,
+        |    sum(a.sigma / l.sigma * (1.0 + l.delta)) AS delta
+        |  FROM lvl$nx l
+        |  JOIN edges e ON e.dst = l.v
+        |  JOIN lay a ON a.s = l.s AND a.v = e.src AND a.dist = $d
+        |  GROUP BY l.s, e.src),
+        |lvl$d AS MATERIALIZED (
+        |  SELECT a.s, a.v, a.sigma, coalesce(t.delta, 0.0) AS delta
+        |  FROM (SELECT * FROM lay WHERE dist = $d) a
+        |  LEFT JOIN t$d t ON t.s = a.s AND t.v = a.v)""".stripMargin
+    }.mkString(",\n")
+    val allDeltas = (0 to levels).map(d => s"SELECT s, v, delta FROM lvl$d")
+      .mkString(" UNION ALL ")
+    s"""${DENSE.replace("WITH edges AS (", "WITH edges AS MATERIALIZED (")},
+      |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      |srcs AS (SELECT v AS s FROM verts ORDER BY v LIMIT $k),
+      |w0 AS MATERIALIZED (SELECT s, s AS v, 0 AS dist, 1.0 AS sigma
+      |                    FROM srcs),
+      |vis0 AS (SELECT s, v FROM w0),
+      |$forward,
+      |lay AS MATERIALIZED ($allLevels),
+      |lvl$levels AS (SELECT s, v, sigma, 0.0 AS delta FROM lay
+      |               WHERE dist = $levels),
+      |$backward,
+      |sums AS (
+      |  SELECT v, sum(delta) AS d0
+      |  FROM ($allDeltas) q WHERE v <> s GROUP BY v
+      |)
+      |SELECT vv.v AS id,
+      |  CAST(round((coalesce(s.d0, 0.0)
+      |    * ((1.0 / (((SELECT n FROM nn) - 1.0) * ((SELECT n FROM nn) - 2.0)))
+      |       * ((SELECT n FROM nn) / $k.0))) * 1e6, 0) AS BIGINT) AS bc_micro
+      |FROM verts vv LEFT JOIN sums s ON s.v = vv.v""".stripMargin
+  }
 
   /** Louvain level with `iters` fixed inner iterations, UNROLLED as a
    * plain CTE chain (the recursive form would need the label CTE
