@@ -1,0 +1,72 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, ID, SRC}
+
+/**
+ * Generic k-core subgraph: the maximal subgraph in which every vertex
+ * has degree >= k (reference `/root/reference/cpp/src/cores/k_core_impl.cuh`,
+ * API `/root/reference/cpp/include/cugraph/algorithms.hpp:1636`; the
+ * legacy entry `algorithms.hpp:410` peels against core numbers).
+ *
+ * Two entry points, matching the reference's two call shapes:
+ *  - [[subgraph]]: iterative degree peel to fixpoint — each round is
+ *    one map-side-combined groupBy (degree) + two semi-joins (edge
+ *    filter), all hash-partitioned on the vertex key, so a round
+ *    shuffles only the shrinking edge set;
+ *  - [[fromCoreNumbers]]: one-shot extraction given a precomputed
+ *    core-number table (the reference's k_core(graph, k, core_numbers)
+ *    overload) — keeps edges whose BOTH endpoints have core >= k,
+ *    which equals the peel fixpoint by the core decomposition
+ *    hierarchy.
+ *
+ * Expects an undirected (symmetrized, deduped) graph, like the
+ *  reference (`k_core_impl.cuh` requires symmetric).
+ */
+object KCore {
+
+  /** Peel rounds taken by the most recent [[subgraph]] call (used to
+   * size the unrolled SQL oracle). */
+  @volatile var lastRounds: Int = 0
+
+  def subgraph(g: LinkGraph, k: Int, maxIter: Int = 100): LinkGraph = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    var cur = Lineage.materialize(
+      g.edges.filter(col(SRC) =!= col(DST)), eager = false)
+    var n = cur.df.count()
+    var changed = n > 0
+    var it = 0
+    while (changed && n > 0 && it < maxIter) {
+      it += 1
+      // Undirected input: every vertex occurs as src, so src-side
+      // degree is total degree.
+      val keep = cur.df.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k)
+        .select(ID)
+      val pruned = cur.df
+        .join(keep.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
+        .join(keep.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
+      val next = Lineage.materialize(pruned, eager = false)
+      val m = next.df.count()
+      changed = m < n
+      n = m
+      cur.release()
+      cur = next
+    }
+    lastRounds = it
+    LinkGraph(cur.df, g.directed, g.numPartitions)
+  }
+
+  /** One-shot k-core given core numbers (id, core_number): keep edges
+   * whose both endpoints have core_number >= k. */
+  def fromCoreNumbers(g: LinkGraph, coreNumbers: DataFrame, k: Int): LinkGraph = {
+    val keep = coreNumbers
+      .filter(col("core_number") >= k)
+      .select(col(ID))
+    g.inducedSubgraph(keep)
+  }
+}

@@ -1,0 +1,89 @@
+package graft.algos
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, ID, SRC}
+
+/**
+ * Uniform neighbor sampling — the GNN mini-batch fan-out op (reference
+ * `/root/reference/cpp/include/cugraph/algorithms.hpp:1678`,
+ * impl `/root/reference/cpp/src/sampling/uniform_neighbor_sampling_impl.hpp`):
+ * from a seed vertex set, for each hop h take up to fanouts(h)
+ * neighbors per frontier vertex without replacement; sampled
+ * destinations form the next frontier (deduplicated, like the
+ * reference's dedupe of hop frontiers).
+ *
+ * Determinism: the reference draws from device RNG; we pin the sample
+ * to a counter-based hash ranking — per (hop, src), neighbors ordered
+ * by md5(seed:hop:src:dst) — so the sample is uniform in distribution,
+ * identical across partitionings/cluster sizes, and reproducible by
+ * the SQL oracle.
+ *
+ * Physical plan per hop: frontier semi-join against the cached
+ * src-partitioned edge table (co-partitioned, only the tiny frontier
+ * shuffles), then a per-src window rank — partition width = out-degree
+ * of a frontier vertex, so the rank never concentrates more than one
+ * vertex's adjacency on an executor.
+ *
+ * Returns (hop, src, dst) for every sampled edge.
+ */
+object NeighborSampling {
+
+  def run(
+      g0: LinkGraph,
+      seeds: DataFrame,
+      fanouts: Seq[Int],
+      seed: Long = 42L): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(
+      runImpl(g0, seeds, fanouts, seed))
+
+  private def runImpl(
+      g0: LinkGraph,
+      seeds: DataFrame,
+      fanouts: Seq[Int],
+      seed: Long): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val edges = g.edges.select(SRC, DST).distinct()
+
+    var frontier = Lineage.materialize(
+      seeds.select(col(seeds.columns.head).as(ID)).distinct(),
+      eager = false)
+    val scratch = scala.collection.mutable.ArrayBuffer[Lineage.Handle](frontier)
+    var out: Option[DataFrame] = None
+
+    fanouts.zipWithIndex.foreach { case (fanout, h) =>
+      val hop = h + 1
+      val incident = edges.join(
+        frontier.df.withColumnRenamed(ID, SRC).hint("shuffle_hash"),
+        Seq(SRC), "left_semi")
+      // Hash-ranked without-replacement sample: stable across engines
+      // (hex md5 compares bytewise identically everywhere); dst breaks
+      // the astronomically-unlikely hash tie.
+      val key = md5(concat_ws(":", lit(seed), lit(hop), col(SRC), col(DST)))
+      val ranked = incident
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col(SRC)).orderBy(key.asc, col(DST).asc)))
+        .filter(col("rk") <= fanout)
+        .select(lit(hop.toLong).as("hop"), col(SRC), col(DST))
+      val sampled = Lineage.materialize(ranked, eager = false)
+      scratch += sampled
+      out = Some(out.map(_.union(sampled.df)).getOrElse(sampled.df))
+      val nextFrontier = Lineage.materialize(
+        sampled.df.select(col(DST).as(ID)).distinct(), eager = false)
+      scratch += nextFrontier
+      frontier = nextFrontier
+    }
+
+    val result = Lineage.materialize(
+      out.getOrElse(g.spark.emptyDataFrame
+        .select(lit(0L).as("hop"), lit(0L).as(SRC), lit(0L).as(DST))))
+    scratch.foreach(_.release())
+    if (!callerCached) g.unpersist()
+    result.df
+  }
+}

@@ -1,0 +1,138 @@
+package graft.algos
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.core.{Lineage, LinkGraph}
+import graft.core.LinkGraph.{DST, SRC, WEIGHT}
+
+/**
+ * Biased and node2vec random walks (reference
+ * `/root/reference/cpp/include/cugraph/algorithms.hpp:1438,1481`,
+ * impl `/root/reference/cpp/src/sampling/random_walks_impl.cuh` —
+ * biased_selector / node2vec_selector).
+ *
+ * Selection is CUMULATIVE-WEIGHT INVERSION, the same scheme the
+ * reference's selectors use on the prefix-summed adjacency: order the
+ * out-neighbors of the current vertex ascending, compute the running
+ * weight sum, draw u ∈ [0,1) and take the first neighbor whose running
+ * sum exceeds u × total. The draw is pinned to a splittable
+ * counter-based stream — u = md5(seed:start:step) as a 32-bit int mod
+ * 10^6, scaled — so walks are identical across partitionings AND
+ * reproducible by the SQL oracle (compare `cum·10^6 > u·total`, no
+ * division).
+ *
+ * node2vec transition weights from prev p̂ to current v for candidate
+ * n (reference node2vec_selector, random_walks_impl.cuh):
+ *   1/p if n = p̂  (return),
+ *   1   if n adjacent to p̂ (in-out distance 1),
+ *   1/q otherwise — all times the edge weight when weighted.
+ * Step 1 has no prev; setting prev = start makes every candidate
+ * adjacency-weight 1, i.e. the uniform/biased first step the
+ * reference takes.
+ *
+ * Physical plan per step: candidates = frontier ⋈ edges on the
+ * partition key (src), one adjacency-check join against the same
+ * cached edge table, then a per-walker window (partition = walker,
+ * rows = out-degree of the current vertex) — only the walker frame
+ * shuffles per step, never the edges.
+ *
+ * Returns (start, step, vertex); step 0 is the start vertex.
+ */
+object Node2Vec {
+
+  final case class Config(
+      length: Int = 4,
+      p: Double = 2.0,
+      q: Double = 0.5,
+      seed: Long = 42L,
+      weighted: Boolean = false)
+
+  /** node2vec second-order walks. */
+  def run(g0: LinkGraph, starts: DataFrame, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(
+      walk(g0, starts, cfg.length, cfg.seed) { (cand, edges) =>
+        // adjacency check: is the candidate a neighbor of prev?
+        val adjPrev = edges.select(col(SRC).as("ap_src"), col(DST).as("ap_dst"))
+          .withColumn("is_adj", lit(true))
+        val bias = cand
+          .join(adjPrev,
+            cand("prev") === col("ap_src") && cand("nbr") === col("ap_dst"),
+            "left")
+          .select(cand("*"), coalesce(col("is_adj"), lit(false)).as("adj"))
+        val base =
+          when(col("nbr") === col("prev"), lit(1.0 / cfg.p))
+            .when(col("adj"), lit(1.0))
+            .otherwise(lit(1.0 / cfg.q))
+        bias.withColumn("wt",
+          if (cfg.weighted) base * col("ew") else base)
+      })
+
+  /** First-order biased walks: next ∝ edge weight. */
+  def biased(
+      g0: LinkGraph,
+      starts: DataFrame,
+      length: Int = 4,
+      seed: Long = 42L): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(
+      walk(g0, starts, length, seed) { (cand, _) =>
+        cand.withColumn("wt", col("ew"))
+      })
+
+  /** Shared walk loop; `weigh` maps the candidate frame
+   * (start, step, prev, vertex, nbr, ew) to one with a `wt` column. */
+  private def walk(
+      g0: LinkGraph,
+      starts: DataFrame,
+      length: Int,
+      seed: Long)(
+      weigh: (DataFrame, DataFrame) => DataFrame): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val edges = g.edges.select(col(SRC), col(DST), col(WEIGHT).as("ew"))
+
+    var cur = Lineage.materialize(
+      starts.select(col(starts.columns.head).as("start"))
+        .withColumn("step", lit(0L))
+        .withColumn("prev", col("start"))
+        .withColumn("vertex", col("start")),
+      eager = false)
+    val segments = scala.collection.mutable.ArrayBuffer[Lineage.Handle](cur)
+    var out = cur.df.select("start", "step", "vertex")
+
+    for (step <- 1 to length) {
+      val cand = cur.df
+        .join(edges.hint("shuffle_hash"), cur.df("vertex") === edges(SRC))
+        .select(col("start"), col("prev"), col("vertex"),
+          edges(DST).as("nbr"), col("ew"))
+      val weighted = weigh(cand, edges)
+
+      val byWalker = Window.partitionBy("start")
+      val running = byWalker.orderBy(col("nbr").asc)
+      val draw = pmod(conv(substring(
+        md5(concat_ws(":", lit(seed), col("start"), lit(step))), 1, 8),
+        16, 10).cast("long"), lit(1000000L))
+      val scored = weighted
+        .withColumn("cum", sum(col("wt")).over(running))
+        .withColumn("tot", sum(col("wt")).over(byWalker))
+        .withColumn("r", draw)
+        // inversion without division: first nbr with cum/tot > r/1e6
+        .filter(col("cum") * lit(1000000.0) > col("r") * col("tot"))
+      val next = Lineage.materialize(
+        scored.groupBy(col("start"))
+          .agg(min(struct(col("cum"), col("nbr"), col("vertex"))).as("pick"))
+          .select(col("start"), lit(step.toLong).as("step"),
+            col("pick.vertex").as("prev"), col("pick.nbr").as("vertex")))
+      segments += next
+      out = out.union(next.df.select("start", "step", "vertex"))
+      cur = next
+    }
+
+    val result = Lineage.materialize(out)
+    segments.foreach(_.release())
+    if (!callerCached) g.unpersist()
+    result.df
+  }
+}

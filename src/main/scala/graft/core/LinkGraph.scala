@@ -158,4 +158,27 @@ object LinkGraph {
       w.as(WEIGHT))
     LinkGraph(e, directed, n)
   }
+
+  /**
+   * Build from an adjacency-list frame — one row per vertex with an
+   * array of neighbors (reference from_adjlist,
+   * `/root/reference/python/cugraph/cugraph/structure/graph_classes.py:173`).
+   * The explode is partition-local (no shuffle); a vertex with an
+   * empty array contributes no edges, like the reference's CSR with
+   * an empty row.
+   */
+  def fromAdjList(
+      df: DataFrame,
+      idCol: String,
+      nbrsCol: String,
+      directed: Boolean = true,
+      numPartitions: Int = 0): LinkGraph = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val e = df.select(
+      col(idCol).cast("long").as(SRC),
+      explode(col(nbrsCol)).as("nbr"))
+      .select(col(SRC), col("nbr").cast("long").as(DST), lit(1.0).as(WEIGHT))
+    LinkGraph(e, directed, n)
+  }
 }

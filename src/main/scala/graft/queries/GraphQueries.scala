@@ -3,9 +3,11 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, LabelPropagation, Louvain, PageRank, RandomWalks, Similarity, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
+import graft.corpus.Generators
+import graft.sources.Mtx
 
 /**
  * Graph queries over edge tables DERIVED deterministically from the
@@ -333,6 +335,89 @@ object GraphQueries {
           "left_semi").select(col(DST).as(ID)))
         .distinct()
       g.inducedSubgraph(ego).edges.select(SRC, DST)
+    }),
+
+    "q_kcore" -> ((s, dir) => {
+      // Generic k-core (k=3) of the dense graph; canonical edge list.
+      KCore.subgraph(allGraph(s, dir), 3)
+        .edges.filter(col(SRC) < col(DST)).select(SRC, DST)
+    }),
+
+    "q_scc" -> ((s, dir) => {
+      // SCC over a DIRECTED graph with web-like structure (Broder
+      // bow-tie: big SCCs + shallow one-way periphery): each chain
+      // pair keeps both directions unless (u+v)%3=0, which stays
+      // one-way u→v. Label-propagation SCC passes scale with the
+      // condensation's pivot depth — shallow here, as on web graphs;
+      // a pure DAG path would be its adversarial case.
+      val p = chainPairs(s, dir).select(col("u"), col("v"))
+      val both = p.filter(pmod(col("u") + col("v"), lit(3L)) =!= 0L)
+      val de = p.select(col("u").as(SRC), col("v").as(DST))
+        .union(both.select(col("v").as(SRC), col("u").as(DST)))
+        .distinct()
+        .withColumn(WEIGHT, lit(1.0))
+      Scc.run(LinkGraph(de, directed = true,
+        s.sessionState.conf.numShufflePartitions)).components
+    }),
+
+    "q_ktruss" -> ((s, dir) =>
+      // 4-truss of the dense graph (every surviving edge in >= 2
+      // triangles within the subgraph); canonical edge list.
+      KTruss.subgraph(allGraph(s, dir), 4)),
+
+    "q_node2vec" -> ((s, dir) => {
+      // Deterministic node2vec walks (p=2, q=0.5), length 4, from the
+      // 10 smallest vertices.
+      val g = chainGraph(s, dir)
+      val starts = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(10)
+      Node2Vec.run(g, starts,
+        Node2Vec.Config(length = 4, p = 2.0, q = 0.5, seed = 42L))
+    }),
+
+    "q_biased_walks" -> ((s, dir) => {
+      // Edge-weight-proportional walks over the weighted chain graph.
+      val g = weightedChainGraph(s, dir)
+      val starts = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(10)
+      Node2Vec.biased(g, starts, length = 4, seed = 42L)
+    }),
+
+    "q_neighbor_sample" -> ((s, dir) => {
+      // Uniform neighbor sampling, fanouts [3, 2], from the 10
+      // smallest vertices.
+      val g = chainGraph(s, dir)
+      val seeds = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(10)
+      NeighborSampling.run(g, seeds, Seq(3, 2), seed = 42L)
+    }),
+
+    "q_generators" -> ((s, dir) => {
+      // All simple generators in one tagged edge list (path 30,
+      // complete 8, star 10, 5x4 grid, ER(40, 0.15, seed 7)).
+      def tag(t: String, df: DataFrame): DataFrame =
+        df.select(lit(t).as("tag"), col(SRC), col(DST))
+      tag("path", Generators.path(s, 30))
+        .union(tag("complete", Generators.complete(s, 8)))
+        .union(tag("star", Generators.star(s, 10)))
+        .union(tag("grid", Generators.grid2d(s, 5, 4)))
+        .union(tag("er", Generators.erdosRenyi(s, 40, 0.15, 7)))
+    }),
+
+    "q_mtx_roundtrip" -> ((s, dir) => {
+      // MatrixMarket write -> read round trip over the weighted
+      // symmetrized chain graph; certifies the parser end-to-end.
+      val path = s"/tmp/graft_mtx_${Integer.toHexString(dir.hashCode)}.mtx"
+      Mtx.write(weightedChainGraph(s, dir).edges
+        .select(SRC, DST, WEIGHT), path)
+      Mtx.read(s, path)
+    }),
+
+    "q_from_adjlist" -> ((s, dir) => {
+      // Adjacency-list builder round trip (reference from_adjlist).
+      val adj = chainGraph(s, dir).edges
+        .groupBy(col(SRC).as(ID)).agg(collect_list(col(DST)).as("nbrs"))
+      LinkGraph.fromAdjList(adj, ID, "nbrs").edges.select(SRC, DST)
     })
   )
 
@@ -676,11 +761,233 @@ object GraphQueries {
       |  UNION SELECT e.dst FROM edges e JOIN seeds s ON e.src = s.v
       |)
       |SELECT e.src, e.dst FROM edges e
-      |JOIN ego a ON e.src = a.v JOIN ego b ON e.dst = b.v""".stripMargin
+      |JOIN ego a ON e.src = a.v JOIN ego b ON e.dst = b.v""".stripMargin,
+
+    // Generic k-core peel (k=3) on the dense graph: same recursive
+    // window-degree peel as q_core2; the peel is monotone, so rounds
+    // beyond the fixpoint are no-ops (engine fixpoint is measured well
+    // under the 10-round bound by KCoreSpec).
+    "q_kcore" -> s"""${DENSE.replace("WITH edges", "WITH RECURSIVE edges")},
+      |core(iter, src, dst) AS (
+      |  SELECT 0, src, dst FROM edges
+      |  UNION ALL
+      |  SELECT iter + 1, src, dst FROM (
+      |    SELECT e.iter AS iter, e.src AS src, e.dst AS dst,
+      |      count(*) OVER (PARTITION BY e.src) AS ds,
+      |      count(*) OVER (PARTITION BY e.dst) AS dd
+      |    FROM core e WHERE e.iter < 10
+      |  ) x WHERE ds >= 3 AND dd >= 3
+      |)
+      |SELECT DISTINCT src, dst FROM core
+      |WHERE iter = 10 AND src < dst""".stripMargin,
+
+    // SCC = min mutually-reachable vertex, via the directed transitive
+    // closure (set-semantics recursion terminates at the closure).
+    "q_scc" -> s"""${recChain},
+      |dedges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT u AS src, v AS dst FROM pairs
+      |    UNION ALL
+      |    SELECT v AS src, u AS dst FROM pairs WHERE (u + v) % 3 <> 0
+      |  ) t
+      |),
+      |-- DISTINCT-over-UNION-ALL, not bare UNION: inside a WITH
+      |-- RECURSIVE chain DuckDB 1.0 treats a non-self-referencing
+      |-- UNION CTE as UNION ALL (observed; bare UNION here doubled
+      |-- every vertex).
+      |verts AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges) t),
+      |reach(a, b) AS (
+      |  SELECT src, dst FROM dedges
+      |  UNION
+      |  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
+      |),
+      |mutual AS (
+      |  SELECT r1.a AS u, r1.b AS v FROM reach r1
+      |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
+      |)
+      |SELECT vv.v AS id,
+      |  CAST(least(vv.v, coalesce(m.mn, vv.v)) AS BIGINT) AS scc
+      |FROM verts vv
+      |LEFT JOIN (SELECT u, min(v) AS mn FROM mutual GROUP BY u) m
+      |  ON m.u = vv.v""".stripMargin,
+
+    "q_ktruss" -> ktrussSql(rounds = 6, k = 4),
+
+    "q_node2vec" -> node2vecSql(length = 4, seed = 42L),
+    "q_biased_walks" -> biasedWalksSql(length = 4, seed = 42L),
+
+    // Two-hop hash-ranked uniform neighbor sample, fanouts [3, 2].
+    "q_neighbor_sample" -> s"""$CHAIN,
+      |starts AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 10),
+      |h1 AS (
+      |  SELECT e.src, e.dst FROM (
+      |    SELECT e.src, e.dst,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY md5('42:1:' || e.src || ':' || e.dst), e.dst) AS rk
+      |    FROM edges e JOIN starts s ON s.v = e.src
+      |  ) e WHERE rk <= 3
+      |),
+      |f2 AS (SELECT DISTINCT dst AS v FROM h1),
+      |h2 AS (
+      |  SELECT e.src, e.dst FROM (
+      |    SELECT e.src, e.dst,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY md5('42:2:' || e.src || ':' || e.dst), e.dst) AS rk
+      |    FROM edges e JOIN f2 s ON s.v = e.src
+      |  ) e WHERE rk <= 2
+      |)
+      |SELECT CAST(1 AS BIGINT) AS hop, src, dst FROM h1
+      |UNION ALL
+      |SELECT CAST(2 AS BIGINT) AS hop, src, dst FROM h2""".stripMargin,
+
+    // Simple generators: path 30, complete 8, star 10, 5x4 grid,
+    // ER(40, p=0.15, seed 7) with the same md5 coin as the engine.
+    "q_generators" -> """WITH pg AS (
+      |  SELECT 'path' AS tag, CAST(i AS BIGINT) AS src,
+      |         CAST(i + 1 AS BIGINT) AS dst
+      |  FROM generate_series(0, 28) t(i)
+      |), cg AS (
+      |  SELECT 'complete' AS tag, CAST(a.i AS BIGINT) AS src,
+      |         CAST(b.i AS BIGINT) AS dst
+      |  FROM generate_series(0, 7) a(i) JOIN generate_series(0, 7) b(i)
+      |    ON a.i < b.i
+      |), sg AS (
+      |  SELECT 'star' AS tag, CAST(0 AS BIGINT) AS src,
+      |         CAST(i AS BIGINT) AS dst
+      |  FROM generate_series(1, 9) t(i)
+      |), gg AS (
+      |  SELECT 'grid' AS tag, CAST(i AS BIGINT) AS src,
+      |         CAST(i + 1 AS BIGINT) AS dst
+      |  FROM generate_series(0, 19) t(i) WHERE i % 4 < 3
+      |  UNION ALL
+      |  SELECT 'grid', CAST(i AS BIGINT), CAST(i + 4 AS BIGINT)
+      |  FROM generate_series(0, 19) t(i) WHERE i // 4 < 4
+      |), eg AS (
+      |  SELECT 'er' AS tag, CAST(a.i AS BIGINT) AS src,
+      |         CAST(b.i AS BIGINT) AS dst
+      |  FROM generate_series(0, 39) a(i) JOIN generate_series(0, 39) b(i)
+      |    ON a.i < b.i
+      |  WHERE ('0x' || substr(md5(7 || ':' || a.i || ':' || b.i), 1, 8))::BIGINT
+      |        % 1000000 < 150000
+      |)
+      |SELECT * FROM pg UNION ALL SELECT * FROM cg
+      |UNION ALL SELECT * FROM sg UNION ALL SELECT * FROM gg
+      |UNION ALL SELECT * FROM eg""".stripMargin,
+
+    // Round trip through MatrixMarket is identity on the weighted
+    // symmetrized chain edges (the q_symmetrize oracle).
+    "q_mtx_roundtrip" -> s"""$CHAIN, directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |)
+      |SELECT src, dst, CAST(min(weight) AS DOUBLE) AS weight FROM (
+      |  SELECT src, dst, weight FROM directed
+      |  UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |) t GROUP BY src, dst""".stripMargin,
+
+    // Adjacency-list round trip is identity on the chain edges.
+    "q_from_adjlist" -> s"""$CHAIN
+      |SELECT src, dst FROM edges""".stripMargin
   )
 
   private def recChain: String =
     CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
+
+  /** k-truss support peel on the dense graph, UNROLLED to `rounds`
+   * rounds (peel is monotone: rounds past the fixpoint are no-ops;
+   * the engine fixpoint is measured well under the bound by
+   * KTrussSpec). Each round: per-canonical-edge triangle support via
+   * the symmetric adjacency self-join, then HAVING >= k-2. */
+  private def ktrussSql(rounds: Int, k: Int): String = {
+    val minSup = k - 2
+    val roundCtes = (1 to rounds).map { i =>
+      val prev = s"e${i - 1}"
+      s"""sym${i - 1} AS MATERIALIZED (
+        |  SELECT src, dst FROM $prev
+        |  UNION ALL SELECT dst, src FROM $prev),
+        |e$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst FROM $prev e
+        |  JOIN sym${i - 1} a ON a.src = e.src
+        |  JOIN sym${i - 1} b ON b.src = e.dst AND b.dst = a.dst
+        |  GROUP BY e.src, e.dst
+        |  HAVING count(*) >= $minSup)""".stripMargin
+    }.mkString(",\n")
+    s"""${DENSE.replace("WITH edges AS (", "WITH edges AS MATERIALIZED (")},
+      |e0 AS MATERIALIZED (SELECT src, dst FROM edges WHERE src < dst),
+      |$roundCtes
+      |SELECT src, dst FROM e$rounds""".stripMargin
+  }
+
+  /** node2vec walks (p=2, q=0.5): cumulative-weight inversion with the
+   * md5 counter draw; weights are dyadic (0.5/1/2), so every window
+   * sum is exact in both engines and the `cum·10^6 > r·tot` compare is
+   * bit-identical to the Spark side. */
+  private def node2vecSql(length: Int, seed: Long): String =
+    s"""${recChain},
+      |starts AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 10),
+      |wk(start, step, prev, cur) AS (
+      |  SELECT v, CAST(0 AS BIGINT), v, v FROM starts
+      |  UNION ALL
+      |  SELECT y.start, y.step, y.prev, y.pk.v
+      |  FROM (
+      |    SELECT x.start, x.step, x.prev,
+      |      min(struct_pack(c := x.cum, v := x.nbr)) AS pk
+      |    FROM (
+      |      SELECT w.start, w.step + 1 AS step, w.cur AS prev, e.dst AS nbr,
+      |        sum(CASE WHEN e.dst = w.prev THEN 0.5
+      |                 WHEN e2.src IS NOT NULL THEN 1.0 ELSE 2.0 END)
+      |          OVER (PARTITION BY w.start ORDER BY e.dst) AS cum,
+      |        sum(CASE WHEN e.dst = w.prev THEN 0.5
+      |                 WHEN e2.src IS NOT NULL THEN 1.0 ELSE 2.0 END)
+      |          OVER (PARTITION BY w.start) AS tot,
+      |        ('0x' || substr(md5($seed || ':' || w.start || ':'
+      |            || (w.step + 1)), 1, 8))::BIGINT % 1000000 AS r
+      |      FROM wk w
+      |      JOIN edges e ON e.src = w.cur
+      |      LEFT JOIN edges e2 ON e2.src = w.prev AND e2.dst = e.dst
+      |      WHERE w.step < $length
+      |    ) x
+      |    WHERE x.cum * 1000000 > x.r * x.tot
+      |    GROUP BY x.start, x.step, x.prev
+      |  ) y
+      |)
+      |SELECT start, step, cur AS vertex FROM wk""".stripMargin
+
+  /** Edge-weight-proportional walks over the weighted symmetrized
+   * chain graph; weights are integer-valued doubles (min l_quantity),
+   * so the running sums are exact in both engines. */
+  private def biasedWalksSql(length: Int, seed: Long): String =
+    s"""${recChain},
+      |directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |), wedges AS (
+      |  SELECT src, dst, CAST(min(weight) AS DOUBLE) AS w FROM (
+      |    SELECT src, dst, weight FROM directed
+      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |  ) t GROUP BY src, dst
+      |),
+      |starts AS (SELECT DISTINCT src AS v FROM wedges ORDER BY v LIMIT 10),
+      |wk(start, step, cur) AS (
+      |  SELECT v, CAST(0 AS BIGINT), v FROM starts
+      |  UNION ALL
+      |  SELECT y.start, y.step, y.pk.v
+      |  FROM (
+      |    SELECT x.start, x.step,
+      |      min(struct_pack(c := x.cum, v := x.nbr)) AS pk
+      |    FROM (
+      |      SELECT w.start, w.step + 1 AS step, e.dst AS nbr,
+      |        sum(e.w) OVER (PARTITION BY w.start ORDER BY e.dst) AS cum,
+      |        sum(e.w) OVER (PARTITION BY w.start) AS tot,
+      |        ('0x' || substr(md5($seed || ':' || w.start || ':'
+      |            || (w.step + 1)), 1, 8))::BIGINT % 1000000 AS r
+      |      FROM wk w JOIN wedges e ON e.src = w.cur
+      |      WHERE w.step < $length
+      |    ) x
+      |    WHERE x.cum * 1000000 > x.r * x.tot
+      |    GROUP BY x.start, x.step
+      |  ) y
+      |)
+      |SELECT start, step, cur AS vertex FROM wk""".stripMargin
 
   /** Fixed-10-iteration PERSONALIZED PageRank: teleport/dangling mass
    * goes to the 3 smallest vertices (equal weights) instead of 1/V. */
