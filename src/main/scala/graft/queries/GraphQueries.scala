@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -413,6 +413,14 @@ object GraphQueries {
       Mtx.read(s, path)
     }),
 
+    "q_ecg" -> ((s, dir) =>
+      // ECG ensemble votes per canonical edge (3 one-level members,
+      // md5 relabeling, fixed 3 inner iterations — SQL-reproducible;
+      // the final re-weighted Louvain is certified by EcgSpec).
+      Ecg.runVotes(chainGraph(s, dir),
+          Ecg.Config(ensembleSize = 3, innerIter = 3, seed = 42L))
+        .select(SRC, DST, "votes")),
+
     "q_from_adjlist" -> ((s, dir) => {
       // Adjacency-list builder round trip (reference from_adjlist).
       val adj = chainGraph(s, dir).edges
@@ -814,6 +822,8 @@ object GraphQueries {
 
     "q_ktruss" -> ktrussSql(rounds = 6, k = 4),
 
+    "q_ecg" -> ecgSql(k = 3, iters = 3, seed = 42L),
+
     "q_node2vec" -> node2vecSql(length = 4, seed = 42L),
     "q_biased_walks" -> biasedWalksSql(length = 4, seed = 42L),
 
@@ -1116,55 +1126,106 @@ object GraphQueries {
       |FROM verts vv LEFT JOIN sums s ON s.v = vv.v""".stripMargin
   }
 
-  /** Louvain level with `iters` fixed inner iterations, UNROLLED as a
-   * plain CTE chain (the recursive form would need the label CTE
-   * referenced several times per term, which DuckDB's recursion
-   * forbids). Arithmetic is structured IDENTICALLY to
-   * [[graft.algos.Louvain]]'s delta expression — weights are 1.0 so
-   * every aggregate is an integer-valued double and the comparison
-   * `delta > 0` and struct argmax are bit-exact across engines. */
-  private def louvainSql(iters: Int): String = {
-    val prefix = s"""$CHAIN,
-      |vw AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS kk
-      |       FROM edges GROUP BY src),
-      |tw AS (SELECT CAST(count(*) AS DOUBLE) AS t FROM edges),
-      |l0 AS (SELECT v, v AS lbl FROM (SELECT DISTINCT src AS v FROM edges) q)"""
-      .stripMargin
+  /** Louvain inner-iteration CTE chain over `edgesRel` (weight 1.0),
+   * every CTE name suffixed with `sfx` so several instances coexist
+   * in one statement (ECG's ensemble). Defines vw$sfx, tw$sfx and the
+   * label CTEs l${sfx}0 … l$sfx$iters. Arithmetic is structured
+   * IDENTICALLY to [[graft.algos.Louvain]]'s delta expression —
+   * weights are 1.0 so every aggregate is an integer-valued double
+   * and the comparison `delta > 0` and struct argmax are bit-exact
+   * across engines. (Unrolled, not recursive: the recursive form
+   * would need the label CTE referenced several times per term, which
+   * DuckDB's recursion forbids.) */
+  private def louvainChain(sfx: String, edgesRel: String, iters: Int,
+      mat: Boolean = false): String = {
+    // MATERIALIZED keeps DuckDB from re-inlining (and re-computing /
+    // re-opening the parquet behind) each of the many references in
+    // the multiplied ECG chain.
+    val M = if (mat) " MATERIALIZED" else ""
+    val prefix =
+      s"""vw$sfx AS$M (SELECT src AS v, CAST(count(*) AS DOUBLE) AS kk
+        |       FROM $edgesRel GROUP BY src),
+        |tw$sfx AS$M (SELECT CAST(count(*) AS DOUBLE) AS t FROM $edgesRel),
+        |l${sfx}0 AS$M (SELECT v, v AS lbl
+        |  FROM (SELECT DISTINCT src AS v FROM $edgesRel) q)""".stripMargin
     val iterCtes = (1 to iters).map { i =>
-      val pl = s"l${i - 1}"
+      val pl = s"l$sfx${i - 1}"
       // up_down alternates starting true (louvain_impl.cuh:155,185)
       val up = if (i % 2 == 1) "TRUE" else "FALSE"
-      s"""a$i AS (SELECT l.lbl, sum(w.kk) AS a
-        |  FROM $pl l JOIN vw w ON w.v = l.v GROUP BY l.lbl),
-        |eb$i AS (SELECT e.src, e.dst, 1.0 AS w, ls.lbl AS lsrc, ld.lbl AS ldst
-        |  FROM edges e JOIN $pl ls ON ls.v = e.src JOIN $pl ld ON ld.v = e.dst),
-        |own$i AS (SELECT src,
+      s"""a$sfx$i AS$M (SELECT l.lbl, sum(w.kk) AS a
+        |  FROM $pl l JOIN vw$sfx w ON w.v = l.v GROUP BY l.lbl),
+        |eb$sfx$i AS$M (SELECT e.src, e.dst, 1.0 AS w, ls.lbl AS lsrc, ld.lbl AS ldst
+        |  FROM $edgesRel e JOIN $pl ls ON ls.v = e.src
+        |  JOIN $pl ld ON ld.v = e.dst),
+        |own$sfx$i AS$M (SELECT src,
         |    sum(CASE WHEN src <> dst THEN w ELSE 0 END) AS osum,
         |    sum(CASE WHEN src = dst THEN w ELSE 0 END) AS sub
-        |  FROM eb$i WHERE lsrc = ldst GROUP BY src),
-        |cand$i AS (SELECT src, ldst, sum(w) AS ns FROM eb$i GROUP BY src, ldst),
-        |scored$i AS (
+        |  FROM eb$sfx$i WHERE lsrc = ldst GROUP BY src),
+        |cand$sfx$i AS$M (SELECT src, ldst, sum(w) AS ns
+        |  FROM eb$sfx$i GROUP BY src, ldst),
+        |scored$sfx$i AS$M (
         |  SELECT c.src, c.ldst,
         |    2 * (((c.ns
         |        - CASE WHEN c.ldst = vi.lbl THEN coalesce(o.sub, 0) ELSE 0 END
-        |        - coalesce(o.osum, 0)) / (SELECT t FROM tw))
+        |        - coalesce(o.osum, 0)) / (SELECT t FROM tw$sfx))
         |      - 1.0 * (an.a * vi.kk - ao.a * vi.kk + vi.kk * vi.kk)
-        |        / ((SELECT t FROM tw) * (SELECT t FROM tw))) AS delta
-        |  FROM cand$i c
-        |  JOIN (SELECT l.v, l.lbl, w.kk FROM $pl l JOIN vw w ON w.v = l.v) vi
+        |        / ((SELECT t FROM tw$sfx) * (SELECT t FROM tw$sfx))) AS delta
+        |  FROM cand$sfx$i c
+        |  JOIN (SELECT l.v, l.lbl, w.kk FROM $pl l
+        |        JOIN vw$sfx w ON w.v = l.v) vi
         |    ON vi.v = c.src
-        |  JOIN a$i an ON an.lbl = c.ldst
-        |  JOIN a$i ao ON ao.lbl = vi.lbl
-        |  LEFT JOIN own$i o ON o.src = c.src),
-        |best$i AS (SELECT src, max(struct_pack(d := delta, c := -ldst)) AS b
-        |  FROM scored$i GROUP BY src),
-        |l$i AS (
+        |  JOIN a$sfx$i an ON an.lbl = c.ldst
+        |  JOIN a$sfx$i ao ON ao.lbl = vi.lbl
+        |  LEFT JOIN own$sfx$i o ON o.src = c.src),
+        |best$sfx$i AS$M (SELECT src,
+        |    max(struct_pack(d := delta, c := -ldst)) AS b
+        |  FROM scored$sfx$i GROUP BY src),
+        |l$sfx$i AS$M (
         |  SELECT l.v,
         |    CASE WHEN b.b.d > 0 AND ((-b.b.c > l.lbl) = $up)
         |      THEN -b.b.c ELSE l.lbl END AS lbl
-        |  FROM $pl l LEFT JOIN best$i b ON b.src = l.v)""".stripMargin
+        |  FROM $pl l LEFT JOIN best$sfx$i b ON b.src = l.v)""".stripMargin
     }.mkString(",\n")
-    s"$prefix,\n$iterCtes\nSELECT v AS id, lbl AS community FROM l$iters"
+    s"$prefix,\n$iterCtes"
+  }
+
+  /** Louvain level with `iters` fixed inner iterations (q_louvain). */
+  private def louvainSql(iters: Int): String =
+    s"$CHAIN,\n${louvainChain("", "edges", iters)}\n" +
+      s"SELECT v AS id, lbl AS community FROM l$iters"
+
+  /** ECG co-membership votes: `k` one-level Louvain members, each on
+   * a bijectively relabeled copy of the graph (md5 counter hash, the
+   * engine's exact permutation), votes summed per canonical edge. */
+  private def ecgSql(k: Int, iters: Int, seed: Long): String = {
+    def permExpr(r: Int, c: String): String =
+      s"('0x' || substr(md5($seed || ':' || $r || ':' || $c), 1, 15))::BIGINT"
+    val runs = (1 to k).map { r =>
+      s"""p$r AS MATERIALIZED (SELECT v, ${permExpr(r, "v")} AS pv FROM evs),
+        |pe$r AS MATERIALIZED (SELECT ps.pv AS src, pd.pv AS dst
+        |  FROM edges e JOIN p$r ps ON ps.v = e.src
+        |  JOIN p$r pd ON pd.v = e.dst),
+        |${louvainChain(s"r$r", s"pe$r", iters, mat = true)},
+        |back$r AS MATERIALIZED (SELECT p.v, l.lbl FROM p$r p
+        |  JOIN lr$r$iters l ON l.v = p.pv)""".stripMargin
+    }.mkString(",\n")
+    val voteSum = (1 to k)
+      .map(r => s"(CASE WHEN bs$r.lbl = bd$r.lbl THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    val voteJoins = (1 to k)
+      .map(r => s"JOIN back$r bs$r ON bs$r.v = c.src\n" +
+        s"JOIN back$r bd$r ON bd$r.v = c.dst")
+      .mkString("\n")
+    val chainMat = CHAIN
+      .replace("WITH pairs AS (", "WITH pairs AS MATERIALIZED (")
+      .replace("), edges AS (", "), edges AS MATERIALIZED (")
+    s"""$chainMat,
+      |evs AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+      |$runs,
+      |canon AS (SELECT src, dst FROM edges WHERE src < dst)
+      |SELECT c.src, c.dst, CAST($voteSum AS BIGINT) AS votes
+      |FROM canon c
+      |$voteJoins""".stripMargin
   }
 
   /** Weighted similarity skeleton (vertex weight vw = v % 7 + 1):
