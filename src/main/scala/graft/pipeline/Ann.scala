@@ -42,7 +42,20 @@ object Ann {
 
   def cosineTopK(
       corpus: DataFrame, queries: DataFrame,
-      idCol: String, embCol: String, k: Int): DataFrame = {
+      idCol: String, embCol: String, k: Int,
+      maxQueries: Long = 10000L): DataFrame = {
+    // Guard the O(|Q|·N) blow-up: this is the exact re-rank baseline,
+    // not the scale path. A bounded limit-probe (early-exit scan, no
+    // full count) refuses oversized query sets; callers that really
+    // mean it pass maxQueries <= 0, everyone else gets pointed at
+    // lshCosineTopK before the cluster melts.
+    if (maxQueries > 0) {
+      val probe = queries.limit((maxQueries + 1).toInt).count()
+      require(probe <= maxQueries,
+        s"cosineTopK is the exact O(|Q|*N) baseline and the query set " +
+          s"exceeds $maxQueries rows; use lshCosineTopK for large query " +
+          s"sets, or pass maxQueries <= 0 to override")
+    }
     // Norms precomputed per side: the pairwise stage then does ONE dot
     // product per pair instead of three.
     val q = queries.select(col(idCol).as("query_id"),
@@ -123,17 +136,36 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
-  /** Near-duplicate pairs by cosine threshold within a blocking column. */
+  /** Near-duplicate pairs by cosine threshold within a blocking column.
+   *
+   * `subPlanes = 0` (default) is exact within each block. At 100 TB a
+   * single mega-block value would degenerate toward all-pairs; pass
+   * `subPlanes > 0` to additionally sub-bucket EVERY block by that
+   * many hyperplane sign bits (the [[lshCosineTopK]] scheme) — the
+   * join key then subdivides by vector content, bounding any block's
+   * pair count at the cost of missing near-dups that land in
+   * different sub-buckets (standard LSH recall trade; raise recall by
+   * unioning several `seed`s). */
   def nearDupPairs(
       emb: DataFrame, idCol: String, embCol: String, blockCol: String,
-      thresholdMicro: Long): DataFrame = {
+      thresholdMicro: Long,
+      subPlanes: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
     val e = emb.select(col(idCol), asDouble(col(embCol)).as("e"), col(blockCol))
       .withColumn("n", sqrt(dotCol(col("e"), col("e"))))
-    val l = e.select(col(idCol).as("a"), col("e").as("ea"), col("n").as("na"),
-      col(blockCol))
-    val r = e.select(col(idCol).as("b"), col("e").as("eb"), col("n").as("nb"),
-      col(blockCol))
-    l.join(r, Seq(blockCol))
+    val sub: Column =
+      if (subPlanes <= 0) lit(0L)
+      else (0 until subPlanes).map { p =>
+        val proj = (0 until dim).map { d =>
+          element_at(col("e"), d + 1) * lit(planeSign(seed, p, d))
+        }.reduce(_ + _)
+        when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    val keyed = e.withColumn("sub", sub)
+    val l = keyed.select(col(idCol).as("a"), col("e").as("ea"),
+      col("n").as("na"), col(blockCol), col("sub"))
+    val r = keyed.select(col(idCol).as("b"), col("e").as("eb"),
+      col("n").as("nb"), col(blockCol), col("sub"))
+    l.join(r, Seq(blockCol, "sub"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         round(dotCol(col("ea"), col("eb")) / (col("na") * col("nb")) * 1e6, 0)

@@ -118,19 +118,41 @@ object Dedup {
   }
 
   /** SimHash near-dup pairs within a blocking column (e.g. source):
-   * hamming distance ≤ maxHamming. Blocking bounds the pair blow-up. */
+   * hamming distance ≤ maxHamming.
+   *
+   * Candidate generation is the EXACT banded hamming join: split the
+   * 32-bit signature into (maxHamming + 1) bit-bands; by pigeonhole,
+   * any pair within the hamming budget agrees exactly on at least one
+   * band, so joining on (block, band, band-bits) finds every such pair
+   * with zero recall loss — while the join key subdivides a mega-block
+   * by signature content, so no single (block) value can degenerate
+   * the join toward all-pairs (the 100 TB skew guard). Verified pairs
+   * are then hamming-filtered, identical output to the naive
+   * within-block cross join. */
   def simhashDuplicates(
       sim: DataFrame, docs: DataFrame, idCol: String, blockCol: String,
       maxHamming: Int = 6): DataFrame = {
+    val bands = maxHamming + 1
+    val base = 32 / bands
+    val extra = 32 % bands
+    val widths = (0 until bands).map(b => base + (if (b < extra) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val withBlock = sim.join(docs.select(col(idCol), col(blockCol)), Seq(idCol))
-    val l = withBlock.select(col(idCol).as("a"), col("simhash").as("sa"),
-      col(blockCol))
-    val r = withBlock.select(col(idCol).as("b"), col("simhash").as("sb"),
-      col(blockCol))
-    l.join(r, Seq(blockCol))
+    val banded = (0 until bands).map { b =>
+      withBlock.select(col(idCol), col("simhash"), col(blockCol),
+        lit(b).as("band"),
+        shiftright(col("simhash"), offsets(b))
+          .bitwiseAND(lit((1L << widths(b)) - 1)).as("bval"))
+    }.reduce(_ union _)
+    val l = banded.select(col(idCol).as("a"), col("simhash").as("sa"),
+      col(blockCol), col("band"), col("bval"))
+    val r = banded.select(col(idCol).as("b"), col("simhash").as("sb"),
+      col(blockCol), col("band"), col("bval"))
+    l.join(r, Seq(blockCol, "band", "bval"))
       .filter(col("a") < col("b"))
       .select(col("a"), col("b"),
         bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .distinct() // a pair may agree on several bands
   }
 }

@@ -52,6 +52,24 @@ class DedupSpec extends SparkSpec {
     assert(ham(sim(0L), sim(4L)) <= 8)
     assert(ham(sim(0L), sim(3L)) > 8)
   }
+
+  test("banded simhash duplicates equal the naive within-block join") {
+    val s = spark
+    import s.implicits._
+    // one block so the naive join is all-pairs; banded must match it
+    val blocked = docs.withColumn("source", lit("x"))
+    val sim = Dedup.simhash(blocked, "doc_id", "text")
+    for (h <- Seq(0, 3, 6, 10)) {
+      val got = Dedup.simhashDuplicates(sim, blocked, "doc_id", "source", h)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sigs = sim.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = (for {
+        a <- sigs.keys; b <- sigs.keys if a < b
+        d = java.lang.Long.bitCount(sigs(a) ^ sigs(b)) if d <= h
+      } yield (a, b, d.toLong)).toSet
+      assert(got == want, s"maxHamming=$h")
+    }
+  }
 }
 
 class AnnSpec extends SparkSpec {
@@ -77,6 +95,29 @@ class AnnSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall@5 = $recall")
+  }
+
+  test("cosineTopK refuses an oversized query set unless overridden") {
+    val q = emb.filter(col("vec_id") < 20)
+    val e = intercept[IllegalArgumentException] {
+      Ann.cosineTopK(emb, q, "vec_id", "embedding", 3, maxQueries = 10)
+        .count()
+    }
+    assert(e.getMessage.contains("lshCosineTopK"))
+    // override works
+    assert(Ann.cosineTopK(emb, q, "vec_id", "embedding", 3,
+      maxQueries = -1).count() > 0)
+  }
+
+  test("nearDupPairs sub-bucketing keeps same-bucket exactness") {
+    val all = Ann.nearDupPairs(emb, "vec_id", "embedding", "label", 800000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sub = Ann.nearDupPairs(emb, "vec_id", "embedding", "label", 800000L,
+      subPlanes = 2).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // approximate path returns a subset of the exact pairs, and near
+    // vectors mostly share sign buckets so it should find most of them
+    assert(sub.subsetOf(all))
+    if (all.nonEmpty) assert(sub.size.toDouble / all.size >= 0.5)
   }
 }
 
