@@ -60,6 +60,12 @@ object Bench {
     // measure the algorithm, not the (shared) edge-table derivation.
     val tWarm0 = System.nanoTime()
     graft.queries.GraphQueries.warm(spark, sfDir)
+    // Untimed JIT/codegen warmup (the reference benchmark also runs an
+    // untimed warmup call first, benchmarks/python_e2e/main.py:34-47):
+    // without it the alphabetically-first query absorbs the JVM
+    // cold-start (measured 77-103 s vs 19 s warm for q_betweenness).
+    SparkEntry.queries("q_wcc")(spark, sfDir).count()
+    SparkEntry.queries("q_jaccard")(spark, sfDir).count()
     val warmSec = (System.nanoTime() - tWarm0) / 1e9
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -119,7 +119,12 @@ object Betweenness {
     val acc = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
     acc += level
 
+    // Reversed edges, hash-partitioned on the join key ONCE — each
+    // backward level joins on w, and an unpartitioned rev would
+    // re-shuffle the full edge table per level.
     val rev = edges.select(col(DST).as("w"), col(SRC).as("v"))
+      .repartition(p, col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var d = depth - 1
     while (d >= 0) {
       val vAtD = visited.df.filter(col("dist") === d)
@@ -166,6 +171,7 @@ object Betweenness {
           (coalesce(col("d0"), lit(0.0)) * factor).as("bc")))
 
     acc.foreach(_.release())
+    rev.unpersist()
     visited.release()
     verts.release()
     if (!callerCached) g.unpersist()

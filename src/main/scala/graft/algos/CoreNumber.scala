@@ -65,21 +65,51 @@ object CoreNumber {
     var state = Lineage.materialize(
       universe
         .join(degs, Seq(ID), "left")
-        .select(col(ID), least(coalesce(col("c"), lit(0L)), lit(cap)).as("c"))
+        .select(col(ID), least(coalesce(col("c"), lit(0L)), lit(cap)).as("c"),
+          lit(true).as("chg"))
         .repartition(p, col(ID)),
       eager = false)
 
+    val nVerts = universe.count()
+
     var iter = 0
-    var changed = 1L
+    var changed = nVerts // first round: everything is dirty
     while (changed > 0 && iter < maxIter) {
       iter += 1
-      // Histogram of neighbor values per vertex (≤ cap+1 rows each),
-      // then h = max over descending values v of min(v, suffix count).
-      val hist = edges
-        .join(state.df.select(col(ID), col("c")).hint("shuffle_hash"),
-          edges(SRC) === col(ID))
-        .groupBy(col(DST), col("c").as("v"))
+      // Neighbor-value stream (dst, c): the edges⋈state join is
+      // co-partitioned (edges by src, state by id) — zero exchange.
+      val joined = edges
+        .join(state.df.hint("shuffle_hash"), edges(SRC) === state.df(ID))
+        .select(col(DST), col("c"), col("chg"))
+
+      // Convergence-tail frontier: h(v) can only change if some
+      // neighbor's c changed last round. Once the changed set is small
+      // (< 2% of V), restrict the histogram to dirty dsts via a
+      // broadcast semi-join — the tail rounds then cost O(frontier)
+      // instead of O(E). (Broadcast is safe exactly because the gate
+      // bounds the dirty fraction; full rounds take the other path.)
+      val frontierMode = iter > 1 && changed < nVerts / 50
+      val stream =
+        if (frontierMode) {
+          val dirty = edges
+            .join(state.df.filter(col("chg")).select(col(ID))
+                .hint("shuffle_hash"),
+              edges(SRC) === col(ID))
+            .select(col(DST)).distinct()
+          joined.join(broadcast(dirty), Seq(DST), "left_semi")
+        } else joined
+
+      // ONE exchange per round: hash by dst; both the (dst, c)
+      // histogram and the per-dst fold then aggregate exchange-free
+      // (HashPartitioning(dst) satisfies clustering for both), and the
+      // state-update join is dst≡id co-partitioned.
+      val byDst = stream.select(col(DST), col("c").as("v"))
+        .repartition(p, col(DST))
+      val hist = byDst
+        .groupBy(col(DST), col("v"))
         .agg(count(lit(1)).as("cnt"))
+      // h = max over descending values v of min(v, suffix count),
+      // folded over the ≤ cap+1 histogram rows.
       val h = hist
         .groupBy(DST)
         .agg(sort_array(collect_list(struct(col("v"), col("cnt"))),

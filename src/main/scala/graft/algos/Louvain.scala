@@ -156,10 +156,15 @@ object Louvain {
     var labels = Lineage.materialize(
       vw.df.select(col(ID), col(ID).as("lbl")), eager = false)
     var best = Lineage.materialize(labels.df)
-    var curQ = modularity(edges, labels.df, vw.df, totalW, res)
+    val fixed = cfg.fixedInnerIter > 0
+    // Fixed-iteration mode takes every iteration's labels uncondition-
+    // ally, so the per-iteration Q evaluation (two extra jobs each) is
+    // pure overhead — evaluate Q once, after the loop.
+    var curQ =
+      if (fixed) -1.0
+      else modularity(edges, labels.df, vw.df, totalW, res)
     var newQ = curQ
     var iter = 0
-    val fixed = cfg.fixedInnerIter > 0
     val maxIter = if (fixed) cfg.fixedInnerIter else cfg.maxInnerIter
 
     var continue = true
@@ -231,17 +236,15 @@ object Louvain {
               .otherwise(labels.df("lbl")).as("lbl")),
         eager = false)
 
-      newQ = modularity(edges, nextLabels.df, vw.df, totalW, res)
-
       if (fixed) {
         // Oracle-parity mode: always take the labels, run all
-        // fixedInnerIter iterations.
+        // fixedInnerIter iterations; Q evaluated once after the loop.
         best.release()
         best = Lineage.materialize(nextLabels.df)
         labels.release()
         labels = nextLabels
-        curQ = newQ
       } else {
+        newQ = modularity(edges, nextLabels.df, vw.df, totalW, res)
         if (newQ > curQ) {
           best.release()
           best = Lineage.materialize(nextLabels.df)
@@ -253,6 +256,7 @@ object Louvain {
       }
     }
 
+    if (fixed) curQ = modularity(edges, best.df, vw.df, totalW, res)
     labels.release()
     vw.release()
     (best, curQ)

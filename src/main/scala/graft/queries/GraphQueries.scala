@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -412,6 +412,12 @@ object GraphQueries {
         .select(SRC, DST, WEIGHT), path)
       Mtx.read(s, path)
     }),
+
+    "q_spectral" -> ((s, dir) =>
+      // Fiedler-vector balanced bipartition, 20 deflated power
+      // iterations (fixed, oracle-parity).
+      Spectral.fiedlerCut(chainGraph(s, dir),
+        Spectral.Config(iterations = 20, seed = 42L))),
 
     "q_ecg" -> ((s, dir) =>
       // ECG ensemble votes per canonical edge (3 one-level members,
@@ -823,6 +829,48 @@ object GraphQueries {
     "q_ktruss" -> ktrussSql(rounds = 6, k = 4),
 
     "q_ecg" -> ecgSql(k = 3, iters = 3, seed = 42L),
+
+    // Deflated power iteration on sigma*I - L; the (sigma - d)x self
+    // term rides the w=0 self-loop rows, so one grouped sum per
+    // iteration is the whole superstep (same skeleton as
+    // q_eigenvector). Centering + L2 normalize via nested windows.
+    "q_spectral" -> s"""${recChain},
+      |verts AS (SELECT DISTINCT src AS v FROM edges),
+      |deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
+      |        FROM edges GROUP BY src),
+      |sg AS (SELECT 2.0 * max(d) AS s FROM deg),
+      |eplus AS (
+      |  SELECT src, dst, 1.0 AS w FROM edges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |it(iter, v, x) AS (
+      |  SELECT 0, d.v,
+      |    CAST(('0x' || substr(md5(42 || ':' || d.v), 1, 8))::BIGINT
+      |         % 1000000 AS DOUBLE) / 1000000.0 - 0.5
+      |  FROM deg d
+      |  UNION ALL
+      |  SELECT iter, v,
+      |    (y - mu) / sqrt(sq - cnt * mu * mu)
+      |  FROM (
+      |    SELECT iter, v, y, avg(y) OVER () AS mu,
+      |      sum(y * y) OVER () AS sq,
+      |      CAST(count(*) OVER () AS DOUBLE) AS cnt
+      |    FROM (
+      |      SELECT max(t.iter) + 1 AS iter, e.dst AS v,
+      |        sum(CASE WHEN e.w > 0 THEN t.x * e.w
+      |                 ELSE ((SELECT s FROM sg) - dd.d) * t.x END) AS y
+      |      FROM it t
+      |      JOIN eplus e ON t.v = e.src
+      |      JOIN deg dd ON dd.v = e.dst
+      |      WHERE t.iter < 20
+      |      GROUP BY e.dst
+      |    ) raw
+      |  ) centered
+      |)
+      |SELECT v AS id,
+      |  CAST(round(x * 1e6, 0) AS BIGINT) AS fiedler_micro,
+      |  CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT) AS cluster
+      |FROM it WHERE iter = 20""".stripMargin,
 
     "q_node2vec" -> node2vecSql(length = 4, seed = 42L),
     "q_biased_walks" -> biasedWalksSql(length = 4, seed = 42L),
