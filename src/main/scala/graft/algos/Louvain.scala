@@ -177,17 +177,22 @@ object Louvain {
         .groupBy(col("lbl")).agg(sum("kk").as("a"))
 
       // Edges with both endpoint clusters; the dst-label join is the
-      // per-iteration E-sized shuffle.
-      val eb = edges
-        .join(labels.df.select(col(ID), col("lbl").as("lsrc"))
-            .hint("shuffle_hash"),
-          edges(SRC) === col(ID))
-        .drop(ID)
-        .join(labels.df.select(col(ID), col("lbl").as("ldst"))
-            .hint("shuffle_hash"),
-          col(DST) === col(ID))
-        .select(col(SRC), col(DST), col(WEIGHT).as("w"),
-          col("lsrc"), col("ldst"))
+      // per-iteration E-sized shuffle. Materialized once — both the
+      // own-cluster and candidate aggregations scan it, and recomputing
+      // the double join per aggregation doubled the E-sized work.
+      val ebH = Lineage.materialize(
+        edges
+          .join(labels.df.select(col(ID), col("lbl").as("lsrc"))
+              .hint("shuffle_hash"),
+            edges(SRC) === col(ID))
+          .drop(ID)
+          .join(labels.df.select(col(ID), col("lbl").as("ldst"))
+              .hint("shuffle_hash"),
+            col(DST) === col(ID))
+          .select(col(SRC), col(DST), col(WEIGHT).as("w"),
+            col("lsrc"), col("ldst")),
+        eager = false)
+      val eb = ebH.df
 
       // Σw into own cluster (minus self-loops) and the self-loop weight.
       val own = eb.filter(col("lsrc") === col("ldst"))
@@ -254,6 +259,10 @@ object Louvain {
         labels.release()
         labels = nextLabels
       }
+      // nextLabels is fully computed in both branches above (eager
+      // best materialize / modularity action), so the edge-label cache
+      // can drop now.
+      ebH.release()
     }
 
     if (fixed) curQ = modularity(edges, best.df, vw.df, totalW, res)

@@ -99,11 +99,17 @@ object Ann {
       seed: Long = 42L, tables: Int = 4, planes: Int = 8,
       dim: Int = 64): DataFrame = {
 
+    // Projection via zip_with + aggregate over a LITERAL sign array —
+    // same left-to-right float sum as an unrolled term chain, but the
+    // expression tree stays O(planes) instead of O(planes·dim): the
+    // unrolled form produced a ~2000-node tree per table whose janino
+    // compile dominated the query time.
     def bucketKey(e: Column, table: Int): Column =
       (0 until planes).map { p =>
-        val proj = (0 until dim).map { d =>
-          element_at(e, d + 1) * lit(planeSign(seed, table * planes + p, d))
-        }.reduce(_ + _)
+        val signs = typedLit(
+          (0 until dim).map(d => planeSign(seed, table * planes + p, d)))
+        val proj = aggregate(
+          zip_with(e, signs, (x, s) => x * s), lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
 
