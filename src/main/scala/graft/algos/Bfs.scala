@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.checkpoint.CheckpointManager
 import graft.core.{Lineage, LinkGraph}
 import graft.core.LinkGraph.{DST, ID, SRC}
 
@@ -21,7 +22,11 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  */
 object Bfs {
 
-  final case class Config(maxDepth: Int = Int.MaxValue)
+  final case class Config(
+      maxDepth: Int = Int.MaxValue,
+      checkpointEvery: Int = 10,
+      checkpoint: Option[CheckpointManager] = None,
+      algoName: String = "bfs")
 
   /** Returns (id, distance, predecessor); sources have distance 0 and
    * predecessor = themselves. */
@@ -37,15 +42,26 @@ object Bfs {
 
     val edges = g.edges.select(SRC, DST)
 
+    // Resume from the latest committed level: the frontier is exactly
+    // the rows at the checkpoint's max distance.
+    val resume = cfg.checkpoint.flatMap(cm =>
+      cm.latestIteration(cfg.algoName).map(it =>
+        (it.toLong, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
+
     var visited = Lineage.materialize(
-      sources.map(s => (s, 0L, s)).toDF(ID, "distance", "predecessor")
-        .repartition(p, col(ID)),
+      resume.map(_._2).getOrElse(
+        sources.map(s => (s, 0L, s)).toDF(ID, "distance", "predecessor")
+          .repartition(p, col(ID))),
       eager = false)
-    var frontier = visited
-    var depth = 0L
+    var depth = resume.map(_._1).getOrElse(0L)
+    var frontier =
+      if (resume.isEmpty) visited
+      else Lineage.materialize(
+        visited.df.filter(col("distance") === depth), eager = false)
     var frontierSize = frontier.df.count()
 
     val levels = scala.collection.mutable.ArrayBuffer[Lineage.Handle](visited)
+    if (frontier ne visited) levels += frontier
     while (frontierSize > 0 && depth < cfg.maxDepth) {
       depth += 1
       val nextFrontier = Lineage.materialize(
@@ -68,6 +84,13 @@ object Bfs {
         levels += newVisited
         visited = newVisited
         frontier = nextFrontier
+        cfg.checkpoint.foreach { cm =>
+          if (depth % cfg.checkpointEvery == 0) {
+            cm.commit(cfg.algoName, depth.toInt, visited.df,
+              Map("frontier" -> frontierSize.toDouble,
+                "depth" -> depth.toDouble))
+          }
+        }
       } else {
         nextFrontier.release()
       }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
+import graft.checkpoint.CheckpointManager
 import graft.core.{Lineage, LinkGraph}
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 
@@ -25,7 +26,11 @@ import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
  */
 object Sssp {
 
-  final case class Config(maxIter: Int = 10000)
+  final case class Config(
+      maxIter: Int = 10000,
+      checkpointEvery: Int = 10,
+      checkpoint: Option[CheckpointManager] = None,
+      algoName: String = "sssp")
 
   def run(g0: LinkGraph, source: Long, cfg: Config = Config()): DataFrame =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, source, cfg))
@@ -37,13 +42,21 @@ object Sssp {
     import spark.implicits._
     val p = g.numPartitions
 
-    // State: (id, distance, predecessor, changed)
+    // State: (id, distance, predecessor, changed) — the chg column is
+    // checkpointed too, so a resumed run re-enters with the exact
+    // change-frontier of the committed superstep.
+    val resume = cfg.checkpoint.flatMap(cm =>
+      cm.latestIteration(cfg.algoName).map(it =>
+        (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
+
     var state = Lineage.materialize(
-      Seq((source, 0.0, source, true)).toDF(ID, "distance", "predecessor", "chg")
-        .repartition(p, col(ID)),
+      resume.map(_._2).getOrElse(
+        Seq((source, 0.0, source, true))
+          .toDF(ID, "distance", "predecessor", "chg")
+          .repartition(p, col(ID))),
       eager = false)
     var frontier = 1L
-    var iter = 0
+    var iter = resume.map(_._1).getOrElse(0)
 
     while (frontier > 0 && iter < cfg.maxIter) {
       iter += 1
@@ -79,6 +92,13 @@ object Sssp {
         eager = false)
 
       frontier = next.df.filter(col("chg")).count()
+      cfg.checkpoint.foreach { cm =>
+        if (frontier == 0 || iter % cfg.checkpointEvery == 0) {
+          cm.commit(cfg.algoName, iter, next.df,
+            Map("frontier" -> frontier.toDouble,
+              "iteration" -> iter.toDouble))
+        }
+      }
       state.release()
       state = next
     }

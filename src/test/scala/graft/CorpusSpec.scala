@@ -191,4 +191,47 @@ class ResumeSpec extends SparkSpec {
     val manifest = cm2.manifestJson("pagerank", 6)
     assert(manifest.contains("l1_diff") && manifest.contains("partitions"))
   }
+
+  test("bfs resumes from a committed level and matches a full run") {
+    import graft.algos.Bfs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-bfs").toString
+    val edges = loadFixture("karate")
+    val g = graphOf(edges).symmetrize
+    val want = Bfs.run(g, Seq(0L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    // Phase 1: stop after level 1 (commit every level).
+    val cm1 = new graft.checkpoint.CheckpointManager(dir, spark)
+    Bfs.run(g, Seq(0L), Bfs.Config(maxDepth = 1, checkpointEvery = 1,
+      checkpoint = Some(cm1)))
+    assert(cm1.latestIteration("bfs").contains(1))
+
+    // Phase 2: resume; identical distances + predecessors.
+    val cm2 = new graft.checkpoint.CheckpointManager(dir, spark)
+    val got = Bfs.run(g, Seq(0L), Bfs.Config(checkpointEvery = 1,
+        checkpoint = Some(cm2)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
+  test("sssp resumes mid-relaxation and matches a full run") {
+    import graft.algos.Sssp
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-sssp").toString
+    val edges = loadFixture("dolphins")
+    val g = graphOf(edges).symmetrize
+    val root = edges.map(_._1).min
+    val want = Sssp.run(g, root).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+
+    val cm1 = new graft.checkpoint.CheckpointManager(dir, spark)
+    Sssp.run(g, root, Sssp.Config(maxIter = 3, checkpointEvery = 1,
+      checkpoint = Some(cm1)))
+    assert(cm1.latestIteration("sssp").contains(3))
+
+    val cm2 = new graft.checkpoint.CheckpointManager(dir, spark)
+    val got = Sssp.run(g, root, Sssp.Config(checkpointEvery = 1,
+        checkpoint = Some(cm2)))
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(got == want)
+  }
 }
