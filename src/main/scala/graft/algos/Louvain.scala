@@ -140,8 +140,10 @@ object Louvain {
     Result(labels, bestModularity, levels)
   }
 
-  /** One dendrogram level; returns (labels handle (id, lbl), level Q). */
-  private def oneLevel(
+  /** One dendrogram level; returns (labels handle (id, lbl), level Q).
+   * private[algos]: Leiden drives the same level machinery and adds
+   * its refinement phase between the label loop and the contraction. */
+  private[algos] def oneLevel(
       g: LinkGraph, cfg: Config, p: Int): (Lineage.Handle, Double) = {
     val edges = g.edges
     val totalW = edges.agg(sum(WEIGHT)).head().getDouble(0)
@@ -190,8 +192,7 @@ object Louvain {
               .hint("shuffle_hash"),
             col(DST) === col(ID))
           .select(col(SRC), col(DST), col(WEIGHT).as("w"),
-            col("lsrc"), col("ldst")),
-        eager = false)
+            col("lsrc"), col("ldst")))
       val eb = ebH.df
 
       // Σw into own cluster (minus self-loops) and the self-loop weight.

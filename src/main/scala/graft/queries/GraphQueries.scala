@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -411,6 +411,15 @@ object GraphQueries {
       Mtx.write(weightedChainGraph(s, dir).edges
         .select(SRC, DST, WEIGHT), path)
       Mtx.read(s, path)
+    }),
+
+    "q_leiden" -> ((s, dir) => {
+      // One Leiden level: Louvain label loop (3 fixed inner
+      // iterations) + connectivity refinement; multi-level control is
+      // certified by LeidenSpec.
+      val r = Leiden.run(chainGraph(s, dir),
+        Leiden.Config(maxLevels = 1, fixedInnerIter = 3))
+      r.labels
     }),
 
     "q_spectral" -> ((s, dir) =>
@@ -829,6 +838,24 @@ object GraphQueries {
     "q_ktruss" -> ktrussSql(rounds = 6, k = 4),
 
     "q_ecg" -> ecgSql(k = 3, iters = 3, seed = 42L),
+
+    // Leiden level = the q_louvain chain + refinement: connected
+    // components (min-label closure) restricted to intra-community
+    // edges of the final labels.
+    "q_leiden" -> s"""${recChain},
+      |${louvainChain("", "edges", 3)},
+      |ref_edges AS (
+      |  SELECT e.src, e.dst FROM edges e
+      |  JOIN l3 a ON a.v = e.src JOIN l3 b ON b.v = e.dst
+      |  WHERE a.lbl = b.lbl
+      |),
+      |cc(v, comp) AS (
+      |  SELECT v, v FROM (SELECT DISTINCT src AS v FROM edges) q
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN ref_edges e ON cc.v = e.src
+      |  WHERE cc.comp < e.dst
+      |)
+      |SELECT v AS id, min(comp) AS community FROM cc GROUP BY v""".stripMargin,
 
     // Deflated power iteration on sigma*I - L; the (sigma - d)x self
     // term rides the w=0 self-loop rows, so one grouped sum per
