@@ -841,9 +841,13 @@ object GraphQueries {
 
     // Leiden level = the q_louvain chain + refinement: connected
     // components (min-label closure) restricted to intra-community
-    // edges of the final labels.
-    "q_leiden" -> s"""${recChain},
-      |${louvainChain("", "edges", 3)},
+    // edges of the final labels. mat = true on the Louvain chain is
+    // LOAD-BEARING (see louvainSql — non-materialized chains take
+    // ~10 min in DuckDB and starved round 2's correctness artifact).
+    "q_leiden" -> s"""${recChain
+        .replace("WITH RECURSIVE pairs AS (", "WITH RECURSIVE pairs AS MATERIALIZED (")
+        .replace("), edges AS (", "), edges AS MATERIALIZED (")},
+      |${louvainChain("", "edges", 3, mat = true)},
       |ref_edges AS (
       |  SELECT e.src, e.dst FROM edges e
       |  JOIN l3 a ON a.v = e.src JOIN l3 b ON b.v = e.dst
@@ -1264,9 +1268,16 @@ object GraphQueries {
     s"$prefix,\n$iterCtes"
   }
 
-  /** Louvain level with `iters` fixed inner iterations (q_louvain). */
+  /** Louvain level with `iters` fixed inner iterations (q_louvain).
+   * mat = true is LOAD-BEARING: without MATERIALIZED, DuckDB
+   * re-inlines the whole unrolled chain per reference (~10 min at
+   * sf0.01 — slow enough that the driver's correctness artifact for
+   * round 2 timed out empty); with it the oracle runs in seconds. */
   private def louvainSql(iters: Int): String =
-    s"$CHAIN,\n${louvainChain("", "edges", iters)}\n" +
+    s"${CHAIN
+        .replace("WITH pairs AS (", "WITH pairs AS MATERIALIZED (")
+        .replace("), edges AS (", "), edges AS MATERIALIZED (")},\n" +
+      s"${louvainChain("", "edges", iters, mat = true)}\n" +
       s"SELECT v AS id, lbl AS community FROM l$iters"
 
   /** ECG co-membership votes: `k` one-level Louvain members, each on
