@@ -44,8 +44,13 @@ object Bfs {
 
     // Resume from the latest committed level: the frontier is exactly
     // the rows at the checkpoint's max distance.
+    // Fingerprint = edge set + sorted sources: a checkpoint root
+    // reused for a different graph or source set is ignored, not
+    // silently resumed into wrong distances.
+    val fp = cfg.checkpoint.map(_.graphFingerprint(
+      edges, "bfs" +: sources.sorted.map(_.toString): _*)).getOrElse("")
     val resume = cfg.checkpoint.flatMap(cm =>
-      cm.latestIteration(cfg.algoName).map(it =>
+      cm.latestIteration(cfg.algoName, fp).map(it =>
         (it.toLong, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
     var visited = Lineage.materialize(
@@ -88,7 +93,7 @@ object Bfs {
           if (depth % cfg.checkpointEvery == 0) {
             cm.commit(cfg.algoName, depth.toInt, visited.df,
               Map("frontier" -> frontierSize.toDouble,
-                "depth" -> depth.toDouble))
+                "depth" -> depth.toDouble), fp)
           }
         }
       } else {

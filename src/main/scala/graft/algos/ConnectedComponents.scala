@@ -62,8 +62,10 @@ object ConnectedComponents {
       .select(col(ID), col(ID).as(COMP), lit(true).as(CHANGED))
       .repartition(p, col(ID))
 
+    val fp = cfg.checkpoint.map(_.graphFingerprint(g.edges, "wcc"))
+      .getOrElse("")
     val resume = cfg.checkpoint
-      .flatMap(cm => cm.latestIteration(cfg.algoName).map(it =>
+      .flatMap(cm => cm.latestIteration(cfg.algoName, fp).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
     var state = Lineage.materialize(resume.map(_._2).getOrElse(init), eager = false)
@@ -97,7 +99,7 @@ object ConnectedComponents {
       cfg.checkpoint.foreach { cm =>
         if (converged || iter % cfg.checkpointEvery == 0) {
           cm.commit(cfg.algoName, iter, next.df,
-            Map("active" -> active.toDouble))
+            Map("active" -> active.toDouble), fp)
         }
       }
       state.release()

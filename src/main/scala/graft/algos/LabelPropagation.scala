@@ -61,8 +61,10 @@ object LabelPropagation {
       .select(col(ID), col(ID).as(LBL))
       .repartition(p, col(ID))
 
+    val fp = cfg.checkpoint.map(_.graphFingerprint(g.edges, "lpa"))
+      .getOrElse("")
     val resume = cfg.checkpoint
-      .flatMap(cm => cm.latestIteration(cfg.algoName).map(it =>
+      .flatMap(cm => cm.latestIteration(cfg.algoName, fp).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
     var state = Lineage.materialize(resume.map(_._2).getOrElse(init), eager = false)
@@ -98,7 +100,7 @@ object LabelPropagation {
       cfg.checkpoint.foreach { cm =>
         if (converged || iter % cfg.checkpointEvery == 0) {
           cm.commit(cfg.algoName, iter, next.df.select(ID, LBL),
-            Map("changed" -> changed.toDouble))
+            Map("changed" -> changed.toDouble), fp)
         }
       }
       state.release()

@@ -1,7 +1,6 @@
 package graft.algos
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -25,9 +24,11 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  *
  * Physical plan per hop: frontier semi-join against the cached
  * src-partitioned edge table (co-partitioned, only the tiny frontier
- * shuffles), then a per-src window rank — partition width = out-degree
- * of a frontier vertex, so the rank never concentrates more than one
- * vertex's adjacency on an executor.
+ * shuffles), then the fanout-k smallest hash keys per src via
+ * [[graft.functions.BoundedMinK]] — a bounded, map-side-combinable
+ * aggregation whose buffer never exceeds fanout entries, so a
+ * mega-hub frontier vertex costs O(fanout) per task instead of an
+ * O(degree) single-task sort (the round-2 window-rank hazard).
  *
  * Returns (hop, src, dst) for every sampled edge.
  */
@@ -63,13 +64,18 @@ object NeighborSampling {
         Seq(SRC), "left_semi")
       // Hash-ranked without-replacement sample: stable across engines
       // (hex md5 compares bytewise identically everywhere); dst breaks
-      // the astronomically-unlikely hash tie.
+      // the astronomically-unlikely hash tie. The fanout-smallest keys
+      // are taken with the bounded min-k AGGREGATION (constant row
+      // width, map-side combinable) — a per-src window rank would sort
+      // a hub's entire adjacency in one task.
       val key = md5(concat_ws(":", lit(seed), lit(hop), col(SRC), col(DST)))
       val ranked = incident
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col(SRC)).orderBy(key.asc, col(DST).asc)))
-        .filter(col("rk") <= fanout)
-        .select(lit(hop.toLong).as("hop"), col(SRC), col(DST))
+        .select(col(SRC), key.as("k"), col(DST))
+        .groupBy(SRC)
+        .agg(graft.functions.BoundedMinK.smallestK(fanout)(
+          col("k"), col(DST)).as("picks"))
+        .select(lit(hop.toLong).as("hop"), col(SRC),
+          explode(col("picks")).as(DST))
       val sampled = Lineage.materialize(ranked, eager = false)
       scratch += sampled
       out = Some(out.map(_.union(sampled.df)).getOrElse(sampled.df))

@@ -117,9 +117,18 @@ object Node2Vec {
       val scored = weighted
         .withColumn("cum", sum(col("wt")).over(running))
         .withColumn("tot", sum(col("wt")).over(byWalker))
+        .withColumn("maxcum", max(col("cum")).over(byWalker))
         .withColumn("r", draw)
-        // inversion without division: first nbr with cum/tot > r/1e6
-        .filter(col("cum") * lit(1000000.0) > col("r") * col("tot"))
+        // Inversion without division: first nbr with cum/tot > r/1e6.
+        // The last candidate (cum == maxcum) passes UNCONDITIONALLY:
+        // with non-dyadic weights the running sum and the separate
+        // total can disagree in the last ulp, and the strict compare
+        // alone could then reject every candidate for a draw near
+        // 999999, silently killing the walker. For exact (dyadic /
+        // integer) weights the fallback never changes the pick, since
+        // cum = tot on the last row always satisfies the compare.
+        .filter(col("cum") * lit(1000000.0) > col("r") * col("tot") ||
+          col("cum") === col("maxcum"))
       val next = Lineage.materialize(
         scored.groupBy(col("start"))
           .agg(min(struct(col("cum"), col("nbr"), col("vertex"))).as("pick"))

@@ -143,9 +143,13 @@ object PageRank {
       .select(col(ID), col(PR), lit(0.0).as(OLD),
         (col("out_weight") === 0.0).as(DANG), col(PW))
 
-    // Resume from the latest committed superstep, if any.
+    // Resume from the latest committed superstep, if any — but only
+    // one committed for the SAME graph and config (fingerprint check).
+    val fp = cfg.checkpoint.map(_.graphFingerprint(
+      g.edges, "pagerank", cfg.alpha.toString,
+      cfg.personalization.isDefined.toString)).getOrElse("")
     val resume = cfg.checkpoint
-      .flatMap(cm => cm.latestIteration(cfg.algoName).map(it =>
+      .flatMap(cm => cm.latestIteration(cfg.algoName, fp).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
     var state = Lineage.materialize(resume.map(_._2).getOrElse(init), eager = false)
@@ -209,7 +213,7 @@ object PageRank {
         if (converged || iter % cfg.checkpointEvery == 0) {
           cm.commit(cfg.algoName, iter, next.df,
             Map("l1_diff" -> l1, "dangling_sum" -> danglingSum,
-              "messages" -> v.toDouble))
+              "messages" -> v.toDouble), fp)
         }
       }
 

@@ -38,12 +38,26 @@ object Scc {
 
   final case class Result(
       components: DataFrame, // columns: id, scc
-      outerPasses: Int)
+      outerPasses: Int,
+      converged: Boolean, // false only when maxOuter truncated the peel
+      unlabeled: Long) // vertices left without a label when !converged
 
-  def run(g0: LinkGraph, maxOuter: Int = 100, maxIter: Int = 200): Result =
-    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, maxOuter, maxIter))
+  /** Runs SCC; with `strict = true` (default) an exhausted `maxOuter`
+   * raises instead of returning a components table silently missing
+   * the unsettled vertices (the coloring settles one SCC per forward
+   * region per pass, so a deep condensation — e.g. a long directed
+   * path — can legitimately hit the bound; callers that want the
+   * partial labeling pass strict = false and check `converged`). */
+  def run(
+      g0: LinkGraph,
+      maxOuter: Int = 100,
+      maxIter: Int = 200,
+      strict: Boolean = true): Result =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(
+      runImpl(g0, maxOuter, maxIter, strict))
 
-  private def runImpl(g0: LinkGraph, maxOuter: Int, maxIter: Int): Result = {
+  private def runImpl(
+      g0: LinkGraph, maxOuter: Int, maxIter: Int, strict: Boolean): Result = {
     val spark = g0.spark
     val p = g0.numPartitions
     import spark.implicits._
@@ -160,12 +174,20 @@ object Scc {
       edges = newEdges
     }
 
+    val converged = remaining == 0
+    if (!converged && strict) {
+      val n = remaining
+      verts.release(); edges.release(); settledHandles.foreach(_.release())
+      throw new IllegalStateException(
+        s"SCC did not settle $n vertices within maxOuter=$maxOuter passes " +
+          "(deep condensation); raise maxOuter or pass strict = false")
+    }
     val all = settled.reduceOption(_ union _)
       .getOrElse(spark.emptyDataset[(Long, Long)].toDF(ID, "scc"))
     val out = Lineage.materialize(all)
     settledHandles.foreach(_.release())
     verts.release(); edges.release()
-    Result(out.df, pass)
+    Result(out.df, pass, converged, remaining)
   }
 
   def componentCount(components: DataFrame): Long =

@@ -45,8 +45,12 @@ object Sssp {
     // State: (id, distance, predecessor, changed) — the chg column is
     // checkpointed too, so a resumed run re-enters with the exact
     // change-frontier of the committed superstep.
+    // Fingerprint = weighted edge set + source (see Bfs): refuses to
+    // resume a checkpoint of a different graph/source.
+    val fp = cfg.checkpoint.map(_.graphFingerprint(
+      g.edges, "sssp", source.toString)).getOrElse("")
     val resume = cfg.checkpoint.flatMap(cm =>
-      cm.latestIteration(cfg.algoName).map(it =>
+      cm.latestIteration(cfg.algoName, fp).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
     var state = Lineage.materialize(
@@ -96,7 +100,7 @@ object Sssp {
         if (frontier == 0 || iter % cfg.checkpointEvery == 0) {
           cm.commit(cfg.algoName, iter, next.df,
             Map("frontier" -> frontier.toDouble,
-              "iteration" -> iter.toDouble))
+              "iteration" -> iter.toDouble), fp)
         }
       }
       state.release()

@@ -40,7 +40,8 @@ final class CheckpointManager(val root: String, spark: SparkSession) {
       algo: String,
       iter: Int,
       state: DataFrame,
-      metrics: Map[String, Double]): DataFrame = {
+      metrics: Map[String, Double],
+      fingerprint: String = ""): DataFrame = {
     val dir = stepDir(algo, iter)
     val dataDir = new Path(dir, "data").toString
     state.write.mode("overwrite").parquet(dataDir)
@@ -58,6 +59,7 @@ final class CheckpointManager(val root: String, spark: SparkSession) {
     val manifest = Json.obj(
       "algo" -> Json.str(algo),
       "iteration" -> Json.num(iter.toDouble),
+      "fingerprint" -> Json.str(fingerprint),
       "schema" -> Json.str(state.schema.json),
       "metrics" -> Json.obj(metrics.toSeq.map { case (k, v) => k -> Json.num(v) }: _*),
       "partitions" -> Json.arr(partCounts.toIndexedSeq: _*))
@@ -68,8 +70,12 @@ final class CheckpointManager(val root: String, spark: SparkSession) {
     reread
   }
 
-  /** Latest committed iteration for `algo`, if any. */
-  def latestIteration(algo: String): Option[Int] = {
+  /** Latest committed iteration for `algo`, if any. When `fingerprint`
+   * is non-empty, only manifests committed with the SAME fingerprint
+   * count — a checkpoint root reused for a different graph / source
+   * set / config is ignored instead of silently resuming stale state
+   * into wrong results. */
+  def latestIteration(algo: String, fingerprint: String = ""): Option[Int] = {
     val d = new Path(root, algo)
     val f = fs(d)
     if (!f.exists(d) || !f.getFileStatus(d).isDirectory) return None
@@ -77,12 +83,39 @@ final class CheckpointManager(val root: String, spark: SparkSession) {
       .filter(st => st.getPath.getName.startsWith("iter=") &&
         f.exists(new Path(st.getPath, "manifest.json")))
       .map(_.getPath.getName.stripPrefix("iter=").toInt)
+      .filter(it => fingerprint.isEmpty ||
+        manifestFingerprint(algo, it).contains(fingerprint))
     if (iters.isEmpty) None else Some(iters.max)
+  }
+
+  /** Fingerprint recorded in a committed manifest (None if absent). */
+  def manifestFingerprint(algo: String, iter: Int): Option[String] = {
+    val m = manifestJson(algo, iter)
+    "\"fingerprint\":\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(m).map(_.group(1)).filter(_.nonEmpty)
   }
 
   /** Re-open the committed state of (algo, iter). */
   def restore(algo: String, iter: Int): DataFrame =
     spark.read.parquet(new Path(stepDir(algo, iter), "data").toString)
+
+  /** Order-independent fingerprint of a run's inputs: edge-set hash +
+   * row count + caller extras (sources, key config). One aggregation
+   * over the (usually cached) edge table, computed once per run; the
+   * cost buys refusal to resume a checkpoint of a DIFFERENT graph. */
+  def graphFingerprint(edges: DataFrame, extras: String*): String = {
+    val cols = edges.columns.sorted.map(col)
+    val r = edges
+      .agg(count(lit(1)).as("n"),
+        sum(hash(cols: _*).cast("long")).as("h"))
+      .head()
+    val n = r.getLong(0)
+    val h = if (r.isNullAt(1)) 0L else r.getLong(1)
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$n:$h:${extras.mkString(":")}"
+        .getBytes(StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
 
   def manifestJson(algo: String, iter: Int): String = {
     val mPath = new Path(stepDir(algo, iter), "manifest.json")

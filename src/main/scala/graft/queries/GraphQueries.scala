@@ -634,7 +634,7 @@ object GraphQueries {
       |  SELECT r, 0 FROM root
       |  UNION
       |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
-      |  WHERE d.dist < 200
+      |  WHERE d.dist < 60
       |),
       |dmin AS (SELECT v, CAST(min(dist) AS BIGINT) AS distance FROM d GROUP BY v)
       |SELECT dm.v AS id, dm.distance,
@@ -687,15 +687,19 @@ object GraphQueries {
       |      min(CASE WHEN e.w = 0
       |            THEN struct_pack(d := t.dist, p := t.pred) END) AS cur
       |    FROM sss t JOIN eplus e ON t.v = e.src
-      |    -- Bound = 200 supersteps, same as q_bfs: Bellman-Ford needs
-      |    -- at most (weighted hop depth) rounds; the engine runs to
-      |    -- fixpoint, so this only has to exceed the sf's hop depth.
-      |    WHERE t.iter < 200
+      |    -- Bound = 60 supersteps (same as q_bfs): Bellman-Ford needs
+      |    -- at most (weighted hop depth) rounds, measured 3 at sf0.01,
+      |    -- and the UNION-set recursion is NOT free past the fixpoint
+      |    -- (cyclic re-expansion makes each extra round a real join:
+      |    -- bound 200 cost 25 s at sf0.01, bound 60 costs 7.5 s with
+      |    -- value-identical output at both test SFs). The engine runs
+      |    -- to fixpoint; this only has to exceed the sf's hop depth.
+      |    WHERE t.iter < 60
       |    GROUP BY e.dst
       |  ) s
       |)
       |SELECT v AS id, dist AS distance, pred AS predecessor
-      |FROM sss WHERE iter = 200 AND dist < 1e17""".stripMargin,
+      |FROM sss WHERE iter = 60 AND dist < 1e17""".stripMargin,
 
     "q_random_walks" -> s"""${recChain},
       |adj AS (
@@ -988,6 +992,10 @@ object GraphQueries {
    * KTrussSpec). Each round: per-canonical-edge triangle support via
    * the symmetric adjacency self-join, then HAVING >= k-2. */
   private def ktrussSql(rounds: Int, k: Int): String = {
+    // Inner join + HAVING drops support-0 edges in every round, which
+    // is only correct when minSup >= 1 (k=2 would have to KEEP
+    // triangle-free edges; the engine early-returns for that case).
+    require(k >= 3, s"ktrussSql needs k >= 3 (inner-join peel), got $k")
     val minSup = k - 2
     val roundCtes = (1 to rounds).map { i =>
       val prev = s"e${i - 1}"

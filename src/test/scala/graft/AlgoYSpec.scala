@@ -191,6 +191,19 @@ class KTrussSpec extends SparkSpec {
       assert(KTruss.lastRounds <= 6) // oracle unroll bound
     }
   }
+
+  test("hub (wedge-join) path agrees with the array path") {
+    // maxAdjWidth = 8 forces karate's high-degree vertices (hubs 33/34
+    // have degree 17) onto the row-wise wedge path; results must be
+    // identical to the default all-array run.
+    val edges = loadFixture("karate").map(e => (e._1, e._2)).toSet
+    val g = graphOf(edges.toSeq.map(e => (e._1, e._2, 1.0)))
+    for (k <- Seq(3, 4)) {
+      val got = KTruss.subgraph(g, k, maxAdjWidth = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == RefOraclesY.kTruss(edges, k), s"k=$k hub path")
+    }
+  }
 }
 
 class SccSpec extends SparkSpec {

@@ -234,4 +234,34 @@ class ResumeSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getLong(2))).toMap
     assert(got == want)
   }
+
+  test("stale checkpoints of a different graph/source are NOT resumed") {
+    import graft.algos.Bfs
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt-fp").toString
+    val karate = graphOf(loadFixture("karate")).symmetrize
+    val dolphins = graphOf(loadFixture("dolphins")).symmetrize
+
+    // Commit karate BFS state under algo name "bfs".
+    val cm = new graft.checkpoint.CheckpointManager(dir, spark)
+    Bfs.run(karate, Seq(0L), Bfs.Config(checkpointEvery = 1,
+      checkpoint = Some(cm)))
+    assert(cm.latestIteration("bfs").isDefined)
+
+    // Same root + algo name, DIFFERENT graph: the fingerprint must
+    // reject the stale manifests and produce a correct fresh run.
+    val want = Bfs.run(dolphins, Seq(0L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got = Bfs.run(dolphins, Seq(0L), Bfs.Config(checkpointEvery = 1000,
+        checkpoint = Some(cm)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want)
+
+    // Same graph, different SOURCE set: also rejected.
+    val want1 = Bfs.run(karate, Seq(1L)).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val got1 = Bfs.run(karate, Seq(1L), Bfs.Config(checkpointEvery = 1000,
+        checkpoint = Some(cm)))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got1 == want1)
+  }
 }
