@@ -37,31 +37,74 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  */
 object CoreNumber {
 
+  /** Degree used by the peel, reference `degree_type`
+   * (`/root/reference/cpp/include/cugraph/algorithms.hpp:1581-1610`):
+   * OUT counts a vertex's out-edges (on a symmetric edge table this
+   * is the undirected degree — what the reference's triangle-count
+   * 2-core uses, `triangle_count_impl.cuh:240-241`), IN its in-edges,
+   * INOUT both (on a symmetric table that doubles the degree, exactly
+   * as it does in the reference, which stores undirected graphs as
+   * both arcs). The h-index iteration generalizes: the value stream a
+   * vertex reduces over is its OUT-neighbors (for OUT), IN-neighbors
+   * (IN), or both (INOUT) — same fixpoint proof, per-direction. */
+  sealed trait DegreeType
+  case object In extends DegreeType
+  case object Out extends DegreeType
+  case object InOut extends DegreeType
+
   /** Supersteps taken by the most recent [[run]] on this driver —
    * instrumentation for benchmarks and for sizing the fixed-iteration
    * SQL oracle (which must exceed the engine's fixpoint). */
   @volatile var lastIterations: Int = 0
 
-  def run(g0: LinkGraph, maxIter: Int = 1000): DataFrame =
-    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, maxIter))
+  def run(
+      g0: LinkGraph,
+      maxIter: Int = 1000,
+      degreeType: DegreeType = Out): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(
+      runImpl(g0, maxIter, degreeType))
 
-  private def runImpl(g0: LinkGraph, maxIter: Int): DataFrame = {
+  private def runImpl(
+      g0: LinkGraph, maxIter: Int, degreeType: DegreeType): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
     val p = g.numPartitions
 
-    val edges = g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST))
+    val simple = g.edges.select(SRC, DST).filter(col(SRC) =!= col(DST))
+    // Delivery frame: (src = value OWNER, dst = RECEIVER). A receiver's
+    // histogram is the values of the neighbors its degree type counts:
+    // OUT-core depends on out-neighbor values (v→u edge delivers u's
+    // value to v), IN-core on in-neighbor values, INOUT on both. The
+    // frame is src-hash partitioned so the per-round state join stays
+    // co-partitioned; for Out/InOut that costs one extra shuffle +
+    // cache up front.
+    val delivery = degreeType match {
+      case In => simple
+      case Out => simple.select(col(DST).as(SRC), col(SRC).as(DST))
+      case InOut => simple.union(
+        simple.select(col(DST).as(SRC), col(SRC).as(DST)))
+    }
+    val edges =
+      if (degreeType == In) delivery
+      else delivery.repartition(p, col(SRC))
+        .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // Global cap: any k-core has at least k(k+1)/2 undirected edges.
+    // Global cap on any core number, from delivery-edge counting: an
+    // In/Out k-core has >= k+1 vertices each with k typed edges, so
+    // k(k+1) <= E delivery rows; an InOut k-core only guarantees
+    // |S| >= k/2+1 (in+out <= 2(|S|-1)), hence the weaker k <= sqrt(2E).
     val eRows = edges.count()
-    val undirected = math.max(1L, eRows / 2)
-    val cap = ((math.sqrt(8.0 * undirected + 1.0) - 1.0) / 2.0).toLong.max(1L)
+    val cap = (degreeType match {
+      case InOut => math.sqrt(2.0 * eRows).toLong + 1L
+      case _ => ((math.sqrt(4.0 * eRows + 1.0) - 1.0) / 2.0).toLong
+    }).max(1L)
 
     // init c = min(degree, cap); universe includes self-loop-only
-    // vertices which start (and stay) at 0.
+    // vertices which start (and stay) at 0. The typed degree of a
+    // receiver = its delivery-edge count (receiver side = dst).
     val universe = g.edges.select(col(SRC).as(ID))
       .union(g.edges.select(col(DST).as(ID))).distinct()
-    val degs = edges.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("c"))
+    val degs = edges.groupBy(col(DST).as(ID)).agg(count(lit(1)).as("c"))
     var state = Lineage.materialize(
       universe
         .join(degs, Seq(ID), "left")
@@ -153,6 +196,7 @@ object CoreNumber {
     val out = Lineage.materialize(
       state.df.select(col(ID), col("c").as("core_number")))
     state.release()
+    if (degreeType != In) edges.unpersist()
     if (!callerCached) g.unpersist()
     out.df
   }

@@ -33,7 +33,16 @@ object KCore {
    * size the unrolled SQL oracle). */
   @volatile var lastRounds: Int = 0
 
-  def subgraph(g: LinkGraph, k: Int, maxIter: Int = 100): LinkGraph = {
+  /** Iterative peel. `degreeType` (reference `algorithms.hpp:1636`):
+   * Out counts src-side edges (= total degree on a symmetric table —
+   * the undirected default), In counts dst-side, InOut both. Every
+   * vertex of the graph must survive the typed-degree test; edges keep
+   * only surviving endpoints. */
+  def subgraph(
+      g: LinkGraph,
+      k: Int,
+      maxIter: Int = 100,
+      degreeType: CoreNumber.DegreeType = CoreNumber.Out): LinkGraph = {
     require(k >= 1, s"k must be >= 1, got $k")
     var cur = Lineage.materialize(
       g.edges.filter(col(SRC) =!= col(DST)), eager = false)
@@ -42,9 +51,13 @@ object KCore {
     var it = 0
     while (changed && n > 0 && it < maxIter) {
       it += 1
-      // Undirected input: every vertex occurs as src, so src-side
-      // degree is total degree.
-      val keep = cur.df.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
+      val degStream = degreeType match {
+        case CoreNumber.Out => cur.df.select(col(SRC).as(ID))
+        case CoreNumber.In => cur.df.select(col(DST).as(ID))
+        case CoreNumber.InOut => cur.df.select(col(SRC).as(ID))
+          .union(cur.df.select(col(DST).as(ID)))
+      }
+      val keep = degStream.groupBy(ID).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(ID)
       val pruned = cur.df

@@ -42,12 +42,18 @@ object Leiden {
       threshold: Double = 1e-4,
       maxInnerIter: Int = 50,
       // > 0: fixed inner iterations (oracle-parity, like Louvain).
-      fixedInnerIter: Int = 0)
+      fixedInnerIter: Int = 0,
+      // Retain per-level refined labels in Result.dendrogram (see
+      // Louvain.Config.keepDendrogram).
+      keepDendrogram: Boolean = false)
 
   final case class Result(
       labels: DataFrame, // columns: id, community
       modularity: Double,
-      levels: Int)
+      levels: Int,
+      // One frame per level when cfg.keepDendrogram: the REFINED
+      // (id, community) assignment of that level's vertex space.
+      dendrogram: Seq[DataFrame] = Nil)
 
   def run(g0: LinkGraph, cfg: Config = Config()): Result =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
@@ -84,6 +90,7 @@ object Leiden {
     var bestModularity = -1.0
     var levels = 0
     var done = false
+    val dendro = scala.collection.mutable.ArrayBuffer[DataFrame]()
 
     while (!done && levels < cfg.maxLevels) {
       val (louvLabels, _) = Louvain.oneLevel(g, louvainCfg, p)
@@ -132,7 +139,9 @@ object Leiden {
           gHandle = cEdges
           g = LinkGraph(cEdges.df, directed = false, p)
         }
-        refined.release()
+        if (cfg.keepDendrogram)
+          dendro += refined.df.select(col(ID), col("lbl").as("community"))
+        else refined.release()
       }
     }
 
@@ -140,6 +149,6 @@ object Leiden {
     if (gHandle != null) gHandle.release()
     Result(
       if (flat == null) g0.spark.emptyDataFrame else flat.df,
-      bestModularity, levels)
+      bestModularity, levels, dendro.toSeq)
   }
 }

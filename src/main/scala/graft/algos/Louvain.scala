@@ -60,12 +60,22 @@ object Louvain {
       // no Q-based control (fixed-iteration oracle-parity mode; the
       // driver query uses it so the unrolled SQL oracle can replicate
       // the computation step for step).
-      fixedInnerIter: Int = 0)
+      fixedInnerIter: Int = 0,
+      // Retain each level's (id, community) labels in Result.dendrogram
+      // — the reference's dendrogram contract (algorithms.hpp:581-684:
+      // louvain returns the per-level assignment, not just the
+      // flattening). Off by default: each retained level pins a
+      // V_level-row cache for the caller's lifetime.
+      keepDendrogram: Boolean = false)
 
   final case class Result(
       labels: DataFrame, // columns: id, community (flattened dendrogram)
       modularity: Double,
-      levels: Int)
+      levels: Int,
+      // One frame per level when cfg.keepDendrogram: (id, community)
+      // over that LEVEL's (coarsened) vertex space, level 0 first —
+      // flattening them top-down reproduces `labels`.
+      dendrogram: Seq[DataFrame] = Nil)
 
   def run(g0: LinkGraph, cfg: Config = Config()): Result =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
@@ -90,6 +100,7 @@ object Louvain {
     var levels = 0
     var done = false
 
+    val dendro = scala.collection.mutable.ArrayBuffer[DataFrame]()
     while (!done && levels < cfg.maxLevels) {
       val (lvlLabels, lvlQ) = oneLevel(g, cfg, p)
       if (lvlQ <= bestModularity) {
@@ -127,7 +138,9 @@ object Louvain {
           gHandle = cEdges
           g = LinkGraph(cEdges.df, directed = false, p)
         }
-        lvlLabels.release()
+        if (cfg.keepDendrogram)
+          dendro += lvlLabels.df.select(col(ID), col("lbl").as("community"))
+        else lvlLabels.release()
       }
     }
 
@@ -137,7 +150,7 @@ object Louvain {
     val labels =
       if (flat == null) g0.spark.emptyDataFrame
       else flat.df
-    Result(labels, bestModularity, levels)
+    Result(labels, bestModularity, levels, dendro.toSeq)
   }
 
   /** One dendrogram level; returns (labels handle (id, lbl), level Q).

@@ -100,6 +100,16 @@ final case class LinkGraph(
   def countMultiEdges: Long =
     edges.groupBy(SRC, DST).count().filter(col("count") > 1).count()
 
+  /** Count edges satisfying a predicate over (src, dst, weight) —
+   * the reference's count_if_e
+   * (`/root/reference/cpp/src/prims/count_if_e.cuh:91`, used e.g. for
+   * the negative-weight validation in pagerank_impl.cuh:96-123). */
+  def countIfE(pred: Column): Long = edges.filter(pred).count()
+
+  /** Count vertices satisfying a predicate over `id` — the reference's
+   * count_if_v (`/root/reference/cpp/src/prims/count_if_v.cuh:100`). */
+  def countIfV(pred: Column): Long = vertices.filter(pred).count()
+
   /** Edges restricted to a vertex set (both endpoints) — induced subgraph
    * (`/root/reference/cpp/src/structure/induced_subgraph_impl.cuh`). */
   def inducedSubgraph(vertexSet: DataFrame): LinkGraph = {

@@ -441,6 +441,49 @@ object GraphQueries {
       val adj = chainGraph(s, dir).edges
         .groupBy(col(SRC).as(ID)).agg(collect_list(col(DST)).as("nbrs"))
       LinkGraph.fromAdjList(adj, ID, "nbrs").edges.select(SRC, DST)
+    }),
+
+    "q_core_number_out" -> ((s, dir) => {
+      // OUT-degree core numbers of the DIRECTED consecutive-pair graph
+      // (reference degree_type OUT, algorithms.hpp:1581-1610 — the
+      // variant triangle counting's 2-core uses).
+      val de = chainPairs(s, dir)
+        .select(col("u").as(SRC), col("v").as(DST)).distinct()
+        .withColumn(WEIGHT, lit(1.0))
+      CoreNumber.run(
+        LinkGraph(de, directed = true,
+          s.sessionState.conf.numShufflePartitions).cached(),
+        degreeType = CoreNumber.Out)
+    }),
+
+    "q_graph_stats" -> ((s, dir) => {
+      // Graph hygiene counters over the RAW consecutive-pair
+      // multigraph (self-pairs kept, parallel edges kept): the
+      // reference's count_self_loops / count_multi_edges
+      // (graph_view.hpp:685-686) and count_if_e / count_if_v
+      // (count_if_e.cuh:91, count_if_v.cuh:100).
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity")
+      val a = li.as("a"); val b = li.as("b")
+      val raw = a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("b.l_linenumber") === col("a.l_linenumber") + 1)
+        .select(
+          col("a.l_partkey").cast("long").as(SRC),
+          col("b.l_partkey").cast("long").as(DST),
+          col("a.l_quantity").cast("double").as(WEIGHT))
+      val g = LinkGraph(raw, directed = true,
+        s.sessionState.conf.numShufflePartitions)
+      import s.implicits._
+      Seq((
+        g.numEdges,
+        g.numVertices,
+        g.countSelfLoops,
+        g.countMultiEdges,
+        g.countIfE(col(WEIGHT) > 25.0),
+        g.countIfV(pmod(col(ID), lit(2L)) === 0L)
+      )).toDF("n_edges", "n_vertices", "self_loops", "multi_edges",
+        "heavy_edges", "even_vertices")
     })
   )
 
@@ -980,7 +1023,64 @@ object GraphQueries {
 
     // Adjacency-list round trip is identity on the chain edges.
     "q_from_adjlist" -> s"""$CHAIN
-      |SELECT src, dst FROM edges""".stripMargin
+      |SELECT src, dst FROM edges""".stripMargin,
+
+    // OUT-core h-index iteration on the DIRECTED pair graph: a vertex
+    // reduces over its OUT-neighbors' values, so the delivery join is
+    // REVERSED (owner = e.dst, receiver = e.src) relative to
+    // q_core_number; self-value rides the w=0 self-loop rows as there.
+    "q_core_number_out" -> s"""${recChain},
+      |dedges AS (SELECT DISTINCT u AS src, v AS dst FROM pairs),
+      |verts AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges) t),
+      |outd AS (SELECT src AS v, count(*) AS d FROM dedges GROUP BY src),
+      |eplus AS (
+      |  SELECT dst AS owner, src AS receiver, 1 AS w FROM dedges
+      |  UNION ALL SELECT v, v, 0 FROM verts
+      |),
+      |cn(iter, v, c) AS (
+      |  SELECT 0, verts.v, coalesce(d.d, 0)
+      |  FROM verts LEFT JOIN outd d ON verts.v = d.v
+      |  UNION ALL
+      |  SELECT iter + 1, v, least(cur, coalesce(h, cur))
+      |  FROM (
+      |    SELECT max(x.iter) AS iter, x.receiver AS v,
+      |      max(CASE WHEN x.w = 0 THEN x.c END) AS cur,
+      |      max(CASE WHEN x.w > 0 THEN least(x.c, x.r) END) AS h
+      |    FROM (
+      |      SELECT t.iter AS iter, e.receiver AS receiver, t.c AS c,
+      |        e.w AS w,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY e.receiver, (e.w > 0) ORDER BY t.c DESC)
+      |          AS BIGINT) AS r
+      |      FROM cn t JOIN eplus e ON t.v = e.owner
+      |      WHERE t.iter < 30
+      |    ) x
+      |    GROUP BY x.receiver
+      |  ) y
+      |)
+      |SELECT v AS id, CAST(c AS BIGINT) AS core_number
+      |FROM cn WHERE iter = 30""".stripMargin,
+
+    "q_graph_stats" -> """WITH raw AS (
+      |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |         CAST(a.l_quantity AS DOUBLE) AS weight
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |   AND b.l_linenumber = a.l_linenumber + 1
+      |),
+      |verts AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM raw UNION ALL SELECT dst FROM raw) t)
+      |SELECT
+      |  (SELECT count(*) FROM raw) AS n_edges,
+      |  (SELECT count(*) FROM verts) AS n_vertices,
+      |  (SELECT count(*) FROM raw WHERE src = dst) AS self_loops,
+      |  (SELECT count(*) FROM (
+      |     SELECT 1 FROM raw GROUP BY src, dst HAVING count(*) > 1) m)
+      |    AS multi_edges,
+      |  (SELECT count(*) FROM raw WHERE weight > 25.0) AS heavy_edges,
+      |  (SELECT count(*) FROM verts WHERE v % 2 = 0) AS even_vertices"""
+      .stripMargin
   )
 
   private def recChain: String =

@@ -68,6 +68,79 @@ class CoreNumberSpec extends SparkSpec {
     val gotT = CoreNumber.run(tri).collect().map(x => x.getLong(1)).toSet
     assert(gotT == Set(2L))
   }
+
+  /** Host oracle: typed-degree core numbers by the classic sequential
+   * min-degree peel (remove the min-typed-degree vertex; its core is
+   * the running max of its typed degree at removal). */
+  private def typedCoreOracle(
+      edges: Set[(Long, Long)],
+      deg: (Long, scala.collection.Set[(Long, Long)]) => Int)
+      : Map[Long, Long] = {
+    val vs = edges.flatMap(e => Seq(e._1, e._2))
+    val live = scala.collection.mutable.Set[(Long, Long)](edges.toSeq: _*)
+    val alive = scala.collection.mutable.Set[Long](vs.toSeq: _*)
+    val core = scala.collection.mutable.Map[Long, Long]()
+    var k = 0L
+    while (alive.nonEmpty) {
+      val v = alive.minBy(u => (deg(u, live), u))
+      k = math.max(k, deg(v, live).toLong)
+      core(v) = k
+      alive -= v
+      live.retain(e => e._1 != v && e._2 != v)
+    }
+    core.toMap
+  }
+
+  test("degree_type IN/OUT/INOUT on a directed graph match the peel") {
+    // Directed fixture: two 3-cycles + cross edges + a source/sink tail.
+    val de = Set(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (0L, 3L), (1L, 4L), (2L, 5L), (5L, 0L),
+      (6L, 0L), (2L, 7L))
+    val g = graphOf(de.toSeq.map(e => (e._1, e._2, 1.0)))
+    def got(t: CoreNumber.DegreeType): Map[Long, Long] =
+      CoreNumber.run(g, degreeType = t).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val outOracle = typedCoreOracle(de, (v, e) => e.count(_._1 == v))
+    val inOracle = typedCoreOracle(de, (v, e) => e.count(_._2 == v))
+    val ioOracle = typedCoreOracle(de,
+      (v, e) => e.count(x => x._1 == v || x._2 == v))
+    assert(got(CoreNumber.Out) == outOracle, "OUT")
+    assert(got(CoreNumber.In) == inOracle, "IN")
+    assert(got(CoreNumber.InOut) == ioOracle, "INOUT")
+  }
+
+  test("k-core subgraph degree_type variants peel directed graphs") {
+    import graft.algos.KCore
+    val de = Set(
+      (0L, 1L), (1L, 2L), (2L, 0L),
+      (3L, 4L), (4L, 5L), (5L, 3L),
+      (0L, 3L), (1L, 4L), (2L, 5L), (5L, 0L),
+      (6L, 0L), (2L, 7L))
+    val g = graphOf(de.toSeq.map(e => (e._1, e._2, 1.0)))
+    def peel(k: Int, deg: (Long, Set[(Long, Long)]) => Int)
+        : Set[(Long, Long)] = {
+      var cur = de
+      var done = false
+      while (!done) {
+        val vs = cur.flatMap(e => Seq(e._1, e._2))
+        val keep = vs.filter(v => deg(v, cur) >= k)
+        val next = cur.filter(e => keep(e._1) && keep(e._2))
+        done = next == cur
+        cur = next
+      }
+      cur
+    }
+    def got(k: Int, t: CoreNumber.DegreeType): Set[(Long, Long)] =
+      KCore.subgraph(g, k, degreeType = t).edges
+        .select("src", "dst").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got(1, CoreNumber.Out) == peel(1, (v, e) => e.count(_._1 == v)))
+    assert(got(1, CoreNumber.In) == peel(1, (v, e) => e.count(_._2 == v)))
+    assert(got(3, CoreNumber.InOut) ==
+      peel(3, (v, e) => e.count(x => x._1 == v || x._2 == v)))
+  }
 }
 
 class BfsSpec extends SparkSpec {

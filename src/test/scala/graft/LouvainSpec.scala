@@ -41,6 +41,43 @@ class LouvainSpec extends SparkSpec {
     assert(r.levels >= 1)
   }
 
+  test("dendrogram levels flatten to the returned labels") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val r = Louvain.run(g, Louvain.Config(maxLevels = 3,
+      keepDendrogram = true))
+    assert(r.dendrogram.size == r.levels)
+    // Flatten the per-level assignments top-down: level 0 maps original
+    // vertices, each later level maps the previous level's communities.
+    var flat = r.dendrogram.head.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    for (lvl <- r.dendrogram.tail) {
+      val m = lvl.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      flat = flat.map { case (v, c) => v -> m(c) }
+    }
+    val want = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(flat == want)
+    // Default config retains nothing.
+    assert(Louvain.run(g).dendrogram.isEmpty)
+  }
+
+  test("leiden dendrogram levels flatten to the returned labels") {
+    import graft.algos.Leiden
+    val edges = loadFixture("dolphins")
+    val g = graphOf(edges)
+    val r = Leiden.run(g, Leiden.Config(maxLevels = 3,
+      keepDendrogram = true))
+    assert(r.dendrogram.size == r.levels)
+    var flat = r.dendrogram.head.collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    for (lvl <- r.dendrogram.tail) {
+      val m = lvl.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      flat = flat.map { case (v, c) => v -> m(c) }
+    }
+    val want = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(flat == want)
+  }
+
   test("louvain is deterministic across runs and partitionings") {
     val edges = loadFixture("karate")
     val cfg = Louvain.Config(maxLevels = 2)
