@@ -17,8 +17,23 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  * broken toward the SMALLEST predecessor id — the reference leaves
  * tie order unspecified; we pin it for reproducibility.
  *
- * Per level: frontier ⋈ edges (co-partitioned), min-reduce by dst,
- * left-anti against visited — the textbook Pregel BFS.
+ * DIRECTION-OPTIMIZING (the reference's push/pull switch in
+ * `bfs_impl.cuh`): per level, either
+ *
+ *  - PUSH (top-down): frontier ⋈ edges (co-partitioned), min-reduce
+ *    by dst, anti-join visited — cost ~ edges OUT of the frontier; or
+ *  - PULL (bottom-up): edges are first semi-joined against the
+ *    UNVISITED dst set, then joined to the frontier on src — cost ~
+ *    edges INTO the unvisited residue. On the dense middle supersteps
+ *    of a web-scale BFS the frontier covers most of the graph while
+ *    the unvisited set collapses, so pruning by unvisited-dst first
+ *    touches far fewer edge rows (the relational analog of bottom-up's
+ *    parent-found early exit).
+ *
+ * The switch is chosen per level by comparing |frontier| against the
+ * unvisited residue (both already tracked); both directions produce
+ * IDENTICAL frontiers and min-predecessors, so results do not depend
+ * on the heuristic (pinned by the push/pull parity spec).
  */
 object Bfs {
 
@@ -26,7 +41,10 @@ object Bfs {
       maxDepth: Int = Int.MaxValue,
       checkpointEvery: Int = 10,
       checkpoint: Option[CheckpointManager] = None,
-      algoName: String = "bfs")
+      algoName: String = "bfs",
+      // None = auto (direction-optimizing); Some(false)/Some(true)
+      // force push-only / pull-only (testing + measurement).
+      pull: Option[Boolean] = None)
 
   /** Returns (id, distance, predecessor); sources have distance 0 and
    * predecessor = themselves. */
@@ -41,6 +59,13 @@ object Bfs {
     val p = g.numPartitions
 
     val edges = g.edges.select(SRC, DST)
+
+    // Vertex universe, needed only on the pull side (unvisited
+    // residue). Lazy: a push-only run never pays for it.
+    lazy val allVerts = Lineage.materialize(
+      g.vertices.repartition(p, col(ID)), eager = false)
+    lazy val nVerts = allVerts.df.count()
+    var touchedAllVerts = false
 
     // Resume from the latest committed level: the frontier is exactly
     // the rows at the checkpoint's max distance.
@@ -64,25 +89,46 @@ object Bfs {
       else Lineage.materialize(
         visited.df.filter(col("distance") === depth), eager = false)
     var frontierSize = frontier.df.count()
+    var visitedCount = if (resume.isEmpty) frontierSize else visited.df.count()
 
     val levels = scala.collection.mutable.ArrayBuffer[Lineage.Handle](visited)
     if (frontier ne visited) levels += frontier
     while (frontierSize > 0 && depth < cfg.maxDepth) {
       depth += 1
+      val doPull = cfg.pull.getOrElse {
+        // Auto: pull once the frontier outnumbers the unvisited
+        // residue (cheap proxy for edge-out vs edge-in volume).
+        frontierSize > math.max(1L, nVerts - visitedCount)
+      }
+      val expanded =
+        if (doPull) {
+          touchedAllVerts = true
+          val unvisited = allVerts.df
+            .join(visited.df.select(ID), Seq(ID), "left_anti")
+          edges
+            .join(unvisited.withColumnRenamed(ID, DST).hint("shuffle_hash"),
+              Seq(DST), "left_semi")
+            .join(frontier.df.select(col(ID).as(SRC)).hint("shuffle_hash"),
+              Seq(SRC))
+            .groupBy(DST).agg(min(SRC).as("predecessor"))
+        } else {
+          edges
+            .join(frontier.df.select(col(ID)).hint("shuffle_hash"),
+              edges(SRC) === col(ID))
+            .select(col(DST), edges(SRC).as("pred"))
+            .groupBy(DST).agg(min("pred").as("predecessor"))
+            .join(visited.df.select(col(ID)).withColumnRenamed(ID, DST),
+              Seq(DST), "left_anti")
+        }
       val nextFrontier = Lineage.materialize(
-        edges
-          .join(frontier.df.select(col(ID)).hint("shuffle_hash"),
-            edges(SRC) === col(ID))
-          .select(col(DST), edges(SRC).as("pred"))
-          .groupBy(DST).agg(min("pred").as("predecessor"))
-          .join(visited.df.select(col(ID)).withColumnRenamed(ID, DST),
-            Seq(DST), "left_anti")
+        expanded
           .select(col(DST).as(ID), lit(depth).as("distance"),
             col("predecessor"))
           .repartition(p, col(ID)),
         eager = false)
       frontierSize = nextFrontier.df.count()
       if (frontierSize > 0) {
+        visitedCount += frontierSize
         val newVisited = Lineage.materialize(
           visited.df.union(nextFrontier.df), eager = false)
         levels += nextFrontier
@@ -103,6 +149,7 @@ object Bfs {
 
     val out = Lineage.materialize(visited.df)
     levels.foreach(_.release())
+    if (touchedAllVerts || cfg.pull.isEmpty) allVerts.release()
     if (!callerCached) g.unpersist()
     out.df
   }

@@ -102,4 +102,95 @@ object Spectral {
     if (!callerCached) g.unpersist()
     out.df
   }
+
+  /**
+   * k-way balanced cut by RECURSIVE FIEDLER BISECTION (reference
+   * `spectralBalancedCutClustering` for arbitrary n_clusters,
+   * `/root/reference/cpp/include/cugraph/algorithms.hpp:818-849`;
+   * the reference recurses its eigensolver the same way the legacy
+   * `spectral_clustering.cu` splits): split by [[fiedlerCut]], assign
+   * the x<=0 side the label range [base, base+k/2) and the x>0 side
+   * [base+k/2, base+k), recurse on the induced subgraphs until each
+   * range is a single label. Deterministic: every level reuses the
+   * same seeded counter init on its (smaller) vertex set.
+   *
+   * Returns (id, cluster) with cluster ∈ [0, k).
+   */
+  def balancedCut(g0: LinkGraph, k: Int, cfg: Config = Config()): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.core.SparkTuning.withoutAqe(g0.spark) {
+      val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+      val g = if (callerCached) g0 else g0.cached()
+      val out = Lineage.materialize(clusterRec(g, g.vertices, k, 0L, cfg))
+      if (!callerCached) g.unpersist()
+      out.df
+    }
+  }
+
+  private def clusterRec(
+      g: LinkGraph,
+      verts: DataFrame,
+      k: Int,
+      base: Long,
+      cfg: Config): DataFrame = {
+    if (k == 1 || g.edges.isEmpty)
+      return verts.select(col(ID), lit(base).as("cluster"))
+    val cut = fiedlerCut(g, cfg)
+    // Vertices absent from the cut (isolated within this subgraph)
+    // deterministically join the low side.
+    val sides = verts
+      .join(cut.select(col(ID), col("cluster").as("side")), Seq(ID), "left")
+      .select(col(ID), coalesce(col("side"), lit(0L)).as("side"))
+    val kLow = k / 2
+    val kHigh = k - kLow
+    val lowVerts = sides.filter(col("side") === 0L).select(ID)
+    val highVerts = sides.filter(col("side") === 1L).select(ID)
+    val low = clusterRec(
+      LinkGraph(
+        LinkGraph.partitioned(g.inducedSubgraph(lowVerts).edges,
+          g.numPartitions),
+        directed = false, g.numPartitions).cached(),
+      lowVerts, kLow, base, cfg)
+    val high = clusterRec(
+      LinkGraph(
+        LinkGraph.partitioned(g.inducedSubgraph(highVerts).edges,
+          g.numPartitions),
+        directed = false, g.numPartitions).cached(),
+      highVerts, kHigh, base + kLow, cfg)
+    low.union(high)
+  }
+
+  /** Clustering quality metrics, the reference's analyzeClustering_*
+   * family (`algorithms.hpp:849-919`): modularity, edge cut (total
+   * weight of inter-cluster edges, each undirected edge once), and
+   * ratio cut (Σ_c cut(c)/|c|). One labeled-edge pass each over the
+   * symmetric edge table. `labels`: (id, cluster). */
+  final case class ClusteringMetrics(
+      modularity: Double, edgeCut: Double, ratioCut: Double)
+
+  def analyzeClustering(g: LinkGraph, labels: DataFrame): ClusteringMetrics = {
+    val lab = labels.select(col(ID), col("cluster"))
+    val annotated = g.edges
+      .join(lab.select(col(ID).as(SRC), col("cluster").as("ls")), Seq(SRC))
+      .join(lab.select(col(ID).as(DST), col("cluster").as("ld")), Seq(DST))
+    // Symmetric table stores each undirected edge twice -> halve.
+    val cutRow = annotated.filter(col("ls") =!= col("ld"))
+      .agg(sum(WEIGHT)).head()
+    val edgeCut = (if (cutRow.isNullAt(0)) 0.0 else cutRow.getDouble(0)) / 2.0
+    // ratio cut: per-cluster outgoing cut weight (symmetric table
+    // counts each inter-edge once per direction = once per side).
+    val perCluster = annotated
+      .groupBy(col("ls").as("cluster"))
+      .agg(sum(when(col("ls") =!= col("ld"), col(WEIGHT))
+        .otherwise(lit(0.0))).as("cut"))
+    val sizes = lab.groupBy("cluster").agg(count(lit(1)).as("n"))
+    val ratioRow = sizes.join(perCluster, Seq("cluster"), "left")
+      .agg(sum(coalesce(col("cut"), lit(0.0)) / col("n"))).head()
+    val ratioCut = if (ratioRow.isNullAt(0)) 0.0 else ratioRow.getDouble(0)
+    val vw = g.outWeightSums.select(col(ID), col("out_weight").as("kk"))
+    val totalW = g.edges.agg(sum(WEIGHT)).head().getDouble(0)
+    val q = Louvain.modularity(
+      g.edges, lab.select(col(ID), col("cluster").as("lbl")), vw, totalW, 1.0)
+    ClusteringMetrics(q, edgeCut, ratioCut)
+  }
 }

@@ -365,6 +365,12 @@ object GraphQueries {
       // triangles within the subgraph); canonical edge list.
       KTruss.subgraph(allGraph(s, dir), 4)),
 
+    "q_spectral_k" -> ((s, dir) =>
+      // Recursive Fiedler bisection to k=4 leaves (reference
+      // spectralBalancedCutClustering for arbitrary n_clusters).
+      Spectral.balancedCut(chainGraph(s, dir), 4,
+        Spectral.Config(iterations = 20, seed = 42L))),
+
     "q_node2vec" -> ((s, dir) => {
       // Deterministic node2vec walks (p=2, q=0.5), length 4, from the
       // 10 smallest vertices.
@@ -913,42 +919,42 @@ object GraphQueries {
     // iteration is the whole superstep (same skeleton as
     // q_eigenvector). Centering + L2 normalize via nested windows.
     "q_spectral" -> s"""${recChain},
-      |verts AS (SELECT DISTINCT src AS v FROM edges),
-      |deg AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
-      |        FROM edges GROUP BY src),
-      |sg AS (SELECT 2.0 * max(d) AS s FROM deg),
-      |eplus AS (
-      |  SELECT src, dst, 1.0 AS w FROM edges
-      |  UNION ALL SELECT v, v, 0.0 FROM verts
-      |),
-      |it(iter, v, x) AS (
-      |  SELECT 0, d.v,
-      |    CAST(('0x' || substr(md5(42 || ':' || d.v), 1, 8))::BIGINT
-      |         % 1000000 AS DOUBLE) / 1000000.0 - 0.5
-      |  FROM deg d
-      |  UNION ALL
-      |  SELECT iter, v,
-      |    (y - mu) / sqrt(sq - cnt * mu * mu)
-      |  FROM (
-      |    SELECT iter, v, y, avg(y) OVER () AS mu,
-      |      sum(y * y) OVER () AS sq,
-      |      CAST(count(*) OVER () AS DOUBLE) AS cnt
-      |    FROM (
-      |      SELECT max(t.iter) + 1 AS iter, e.dst AS v,
-      |        sum(CASE WHEN e.w > 0 THEN t.x * e.w
-      |                 ELSE ((SELECT s FROM sg) - dd.d) * t.x END) AS y
-      |      FROM it t
-      |      JOIN eplus e ON t.v = e.src
-      |      JOIN deg dd ON dd.v = e.dst
-      |      WHERE t.iter < 20
-      |      GROUP BY e.dst
-      |    ) raw
-      |  ) centered
-      |)
+      |${spectralChain("", "edges", 20, 42L)}
       |SELECT v AS id,
       |  CAST(round(x * 1e6, 0) AS BIGINT) AS fiedler_micro,
       |  CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT) AS cluster
       |FROM it WHERE iter = 20""".stripMargin,
+
+    // Recursive bisection: the q_spectral chain run on the full graph,
+    // then again on each side's induced subgraph; low side -> clusters
+    // {0,1}, high side -> {2,3} (exactly Spectral.balancedCut's range
+    // assignment). Vertices isolated within their side join its low
+    // cluster, as in the engine.
+    "q_spectral_k" -> s"""${recChain},
+      |${spectralChain("", "edges", 20, 42L)},
+      |cut0 AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS side
+      |         FROM it WHERE iter = 20),
+      |allv AS (SELECT DISTINCT src AS v FROM edges),
+      |sides AS (SELECT a.v, coalesce(c.side, 0) AS side
+      |          FROM allv a LEFT JOIN cut0 c ON c.v = a.v),
+      |elow AS (SELECT e.src, e.dst FROM edges e
+      |  JOIN sides a ON a.v = e.src JOIN sides b ON b.v = e.dst
+      |  WHERE a.side = 0 AND b.side = 0),
+      |ehigh AS (SELECT e.src, e.dst FROM edges e
+      |  JOIN sides a ON a.v = e.src JOIN sides b ON b.v = e.dst
+      |  WHERE a.side = 1 AND b.side = 1),
+      |${spectralChain("lo", "elow", 20, 42L)},
+      |${spectralChain("hi", "ehigh", 20, 42L)},
+      |cutlo AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS sub
+      |          FROM itlo WHERE iter = 20),
+      |cuthi AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS sub
+      |          FROM ithi WHERE iter = 20)
+      |SELECT s.v AS id,
+      |  CAST(CASE WHEN s.side = 0 THEN coalesce(cl.sub, 0)
+      |       ELSE 2 + coalesce(ch.sub, 0) END AS BIGINT) AS cluster
+      |FROM sides s
+      |LEFT JOIN cutlo cl ON cl.v = s.v
+      |LEFT JOIN cuthi ch ON ch.v = s.v""".stripMargin,
 
     "q_node2vec" -> node2vecSql(length = 4, seed = 42L),
     "q_biased_walks" -> biasedWalksSql(length = 4, seed = 42L),
@@ -1085,6 +1091,49 @@ object GraphQueries {
 
   private def recChain: String =
     CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
+
+  /** Deflated-power-iteration CTE chain over `edgesRel` (unweighted,
+   * both directions stored), every CTE name suffixed with `sfx` so
+   * several instances coexist in one statement (q_spectral_k's
+   * recursive bisection). Defines verts/deg/sg/eplus/it; read the
+   * final vector with `SELECT v, x FROM it$sfx WHERE iter = $iters`.
+   * Arithmetic is structured IDENTICALLY to [[Spectral.fiedlerCut]]
+   * (same sigma, same centered-norm algebra), so the two engines share
+   * the float path up to sum-order noise. */
+  private def spectralChain(
+      sfx: String, edgesRel: String, iters: Int, seed: Long): String =
+    s"""verts$sfx AS (SELECT DISTINCT src AS v FROM $edgesRel),
+      |deg$sfx AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
+      |        FROM $edgesRel GROUP BY src),
+      |sg$sfx AS (SELECT 2.0 * max(d) AS s FROM deg$sfx),
+      |eplus$sfx AS (
+      |  SELECT src, dst, 1.0 AS w FROM $edgesRel
+      |  UNION ALL SELECT v, v, 0.0 FROM verts$sfx
+      |),
+      |it$sfx(iter, v, x) AS (
+      |  SELECT 0, d.v,
+      |    CAST(('0x' || substr(md5($seed || ':' || d.v), 1, 8))::BIGINT
+      |         % 1000000 AS DOUBLE) / 1000000.0 - 0.5
+      |  FROM deg$sfx d
+      |  UNION ALL
+      |  SELECT iter, v,
+      |    (y - mu) / sqrt(sq - cnt * mu * mu)
+      |  FROM (
+      |    SELECT iter, v, y, avg(y) OVER () AS mu,
+      |      sum(y * y) OVER () AS sq,
+      |      CAST(count(*) OVER () AS DOUBLE) AS cnt
+      |    FROM (
+      |      SELECT max(t.iter) + 1 AS iter, e.dst AS v,
+      |        sum(CASE WHEN e.w > 0 THEN t.x * e.w
+      |                 ELSE ((SELECT s FROM sg$sfx) - dd.d) * t.x END) AS y
+      |      FROM it$sfx t
+      |      JOIN eplus$sfx e ON t.v = e.src
+      |      JOIN deg$sfx dd ON dd.v = e.dst
+      |      WHERE t.iter < $iters
+      |      GROUP BY e.dst
+      |    ) raw
+      |  ) centered
+      |)""".stripMargin
 
   /** k-truss support peel on the dense graph, UNROLLED to `rounds`
    * rounds (peel is monotone: rounds past the fixpoint are no-ops;

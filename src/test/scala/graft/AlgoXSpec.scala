@@ -162,6 +162,20 @@ class BfsSpec extends SparkSpec {
     val got = Bfs.run(graphOf(edges), Seq(0L)).collect().map(_.getLong(0)).toSet
     assert(got == Set(0L, 1L))
   }
+
+  test("push, pull, and auto direction produce identical results") {
+    for (fx <- Seq("karate", "dolphins")) {
+      val g = graphOf(loadFixture(fx))
+      def res(pull: Option[Boolean]): Map[Long, (Long, Long)] =
+        Bfs.run(g, Seq(0L), Bfs.Config(pull = pull)).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val push = res(Some(false))
+      val pull = res(Some(true))
+      val auto = res(None)
+      assert(pull == push, s"$fx pull vs push")
+      assert(auto == push, s"$fx auto vs push")
+    }
+  }
 }
 
 class CoarsenSpec extends SparkSpec {

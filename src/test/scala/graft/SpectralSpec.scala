@@ -57,4 +57,57 @@ class SpectralSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(a == b)
   }
+
+  test("balanced cut k=4 refines the k=2 bisection; deterministic") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val vs = edges.map(_._1).distinct.toSet
+    val k2 = Spectral.fiedlerCut(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val k4 = Spectral.balancedCut(g, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4.keySet == vs) // total assignment
+    assert(k4.values.forall(c => c >= 0 && c < 4))
+    assert(k4.values.toSet.size >= 3, s"degenerate: ${k4.values.toSet}")
+    // By construction clusters {0,1} are the low side, {2,3} the high.
+    k4.foreach { case (v, c) =>
+      assert((c < 2) == (k2(v) == 0L), s"vertex $v k4=$c k2=${k2(v)}")
+    }
+    val again = Spectral.balancedCut(g, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == k4)
+  }
+
+  test("analyzeClustering metrics match a host recomputation") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val labels = Spectral.balancedCut(g, 3)
+    val m = Spectral.analyzeClustering(g, labels)
+    val lab = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Host: edge cut / ratio cut / modularity from the same labels.
+    val cutW = edges.collect {
+      case (u, v, w) if lab(u) != lab(v) => w
+    }.sum / 2.0
+    val sizes = lab.values.groupBy(identity).view.mapValues(_.size).toMap
+    val perClusterCut = edges
+      .filter { case (u, v, _) => lab(u) != lab(v) }
+      .groupBy { case (u, _, _) => lab(u) }
+      .view.mapValues(_.map(_._3).sum).toMap
+    val ratio = sizes.map { case (c, n) =>
+      perClusterCut.getOrElse(c, 0.0) / n
+    }.sum
+    val t = edges.map(_._3).sum
+    val internal = edges.collect {
+      case (u, v, w) if lab(u) == lab(v) => w
+    }.sum
+    val kk = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+      .withDefaultValue(0.0)
+    val a = lab.keys.toSeq.groupBy(lab).values.map(_.map(kk).sum)
+    val q = internal / t - a.map(x => x * x).sum / (t * t)
+
+    assert(math.abs(m.edgeCut - cutW) < 1e-9, s"${m.edgeCut} vs $cutW")
+    assert(math.abs(m.ratioCut - ratio) < 1e-9, s"${m.ratioCut} vs $ratio")
+    assert(math.abs(m.modularity - q) < 1e-9, s"${m.modularity} vs $q")
+  }
 }
