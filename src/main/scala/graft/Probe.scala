@@ -51,3 +51,36 @@ object Probe {
     s.stop()
   }
 }
+
+/** Direction-optimization probe: BFS wall-clock push-only vs auto
+ * (push/pull) on a symmetrized RMAT graph, where the middle
+ * supersteps' frontier covers most vertices. Usage:
+ * runMain graft.BfsDirProbe [scale] [cpus]. */
+object BfsDirProbe {
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(20)
+    val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+    val s = Bench.newSession(cpus.toString)
+    import s.implicits._
+    val edges = s.range((1L << scale) * 16)
+      .map(i => graft.corpus.Rmat.edge(42L, i, scale))
+      .toDF("src", "dst")
+    val g = LinkGraph.fromEdges(edges, "src", "dst",
+      numPartitions = cpus).symmetrize.cached()
+    g.edges.count()
+    val root = g.edges.agg(org.apache.spark.sql.functions.min("src"))
+      .head().getLong(0)
+    def timeIt(pull: Option[Boolean]): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = graft.algos.Bfs.run(g, Seq(root),
+        graft.algos.Bfs.Config(pull = pull)).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    timeIt(Some(false)) // warmup
+    val (pushSec, nPush) = timeIt(Some(false))
+    val (autoSec, nAuto) = timeIt(None)
+    println(f"BFSDIR scale=$scale push=$pushSec%.2fs auto=$autoSec%.2fs " +
+      f"reached_push=$nPush reached_auto=$nAuto")
+    s.stop()
+  }
+}

@@ -127,9 +127,10 @@ object CoreNumber {
 
       // Convergence-tail frontier: h(v) can only change if some
       // neighbor's c changed last round. Once the changed set is small
-      // (< 2% of V), restrict the histogram to the dirty dsts — the
-      // tail rounds then cost O(frontier) instead of O(E).
-      val frontierMode = iter > 1 && changed < nVerts / 50
+      // (< 10% of V — measured best at sf0.1 vs 2%, 25%), restrict the
+      // histogram to the dirty dsts — tail rounds then cost
+      // O(frontier), not O(E).
+      val frontierMode = iter > 1 && changed < nVerts / 10
       var dirtyCache: Option[DataFrame] = None
       val stream =
         if (frontierMode) {

@@ -106,15 +106,21 @@ object Ecg {
       back
     }
 
-    // Votes per canonical edge.
+    // Votes per canonical edge. Fold the per-run membership frames
+    // into ONE wide (id, c1..ck) table first — they are all id-hash
+    // partitioned, so the k-way join is exchange-free — and then join
+    // the edge frame twice (src, dst) instead of 2k times (the 2k-join
+    // chain re-shuffled the edge frame per member).
     val canon = edges.filter(col(SRC) < col(DST))
       .select(col(SRC), col(DST), col(WEIGHT))
-    val joined = members.zipWithIndex.foldLeft(canon) { case (acc, (m, i)) =>
-      val r = i + 1
-      acc
-        .join(m.df.select(col(ID).as(SRC), col(s"c$r").as(s"cs$r")), Seq(SRC))
-        .join(m.df.select(col(ID).as(DST), col(s"c$r").as(s"cd$r")), Seq(DST))
-    }
+    val memberAll = members.map(_.df).reduce(_.join(_, Seq(ID)))
+    val srcCols = (1 to cfg.ensembleSize)
+      .map(r => col(s"c$r").as(s"cs$r"))
+    val dstCols = (1 to cfg.ensembleSize)
+      .map(r => col(s"c$r").as(s"cd$r"))
+    val joined = canon
+      .join(memberAll.select(col(ID).as(SRC) +: srcCols: _*), Seq(SRC))
+      .join(memberAll.select(col(ID).as(DST) +: dstCols: _*), Seq(DST))
     val voteExpr = (1 to cfg.ensembleSize)
       .map(r => when(col(s"cs$r") === col(s"cd$r"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, Hits, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, Hits, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -453,13 +453,32 @@ object GraphQueries {
       // OUT-degree core numbers of the DIRECTED consecutive-pair graph
       // (reference degree_type OUT, algorithms.hpp:1581-1610 — the
       // variant triangle counting's 2-core uses).
-      val de = chainPairs(s, dir)
-        .select(col("u").as(SRC), col("v").as(DST)).distinct()
-        .withColumn(WEIGHT, lit(1.0))
-      CoreNumber.run(
+      val g = memo(s, dir, "dchain") {
+        val de = chainPairs(s, dir)
+          .select(col("u").as(SRC), col("v").as(DST)).distinct()
+          .withColumn(WEIGHT, lit(1.0))
         LinkGraph(de, directed = true,
-          s.sessionState.conf.numShufflePartitions).cached(),
-        degreeType = CoreNumber.Out)
+          s.sessionState.conf.numShufflePartitions)
+      }
+      CoreNumber.run(g, degreeType = CoreNumber.Out)
+    }),
+
+    "q_mst" -> ((s, dir) =>
+      // Minimum spanning forest of the weighted symmetrized chain
+      // graph (reference minimum_spanning_tree, algorithms.hpp:743);
+      // the (weight, src, dst) pick key makes the forest unique, so
+      // the oracle's unrolled Borůvka produces the identical edge set.
+      Mst.forest(weightedChainGraph(s, dir))),
+
+    "q_extract_paths" -> ((s, dir) => {
+      // Root→destination paths from the BFS predecessor tree
+      // (reference extract_bfs_paths, algorithms.hpp:1063), for the 3
+      // LARGEST reached vertex ids.
+      val g = chainGraph(s, dir)
+      val root = g.edges.agg(min(col(SRC))).head().getLong(0)
+      val trav = Bfs.run(g, Seq(root))
+      val dests = trav.select(col(ID)).orderBy(col(ID).desc).limit(3)
+      ExtractPaths.fromPredecessors(trav, dests)
     }),
 
     "q_graph_stats" -> ((s, dir) => {
@@ -860,7 +879,7 @@ object GraphQueries {
     // SCC = min mutually-reachable vertex, via the directed transitive
     // closure (set-semantics recursion terminates at the closure).
     "q_scc" -> s"""${recChain},
-      |dedges AS (
+      |dedges AS MATERIALIZED (
       |  SELECT DISTINCT src, dst FROM (
       |    SELECT u AS src, v AS dst FROM pairs
       |    UNION ALL
@@ -871,14 +890,14 @@ object GraphQueries {
       |-- RECURSIVE chain DuckDB 1.0 treats a non-self-referencing
       |-- UNION CTE as UNION ALL (observed; bare UNION here doubled
       |-- every vertex).
-      |verts AS (SELECT DISTINCT v FROM (
+      |verts AS MATERIALIZED (SELECT DISTINCT v FROM (
       |  SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges) t),
       |reach(a, b) AS (
       |  SELECT src, dst FROM dedges
       |  UNION
       |  SELECT r.a, e.dst FROM reach r JOIN dedges e ON r.b = e.src
       |),
-      |mutual AS (
+      |mutual AS MATERIALIZED (
       |  SELECT r1.a AS u, r1.b AS v FROM reach r1
       |  JOIN reach r2 ON r2.a = r1.b AND r2.b = r1.a
       |)
@@ -930,21 +949,24 @@ object GraphQueries {
     // {0,1}, high side -> {2,3} (exactly Spectral.balancedCut's range
     // assignment). Vertices isolated within their side join its low
     // cluster, as in the engine.
-    "q_spectral_k" -> s"""${recChain},
-      |${spectralChain("", "edges", 20, 42L)},
-      |cut0 AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS side
-      |         FROM it WHERE iter = 20),
-      |allv AS (SELECT DISTINCT src AS v FROM edges),
-      |sides AS (SELECT a.v, coalesce(c.side, 0) AS side
+    "q_spectral_k" -> s"""${recChain
+        .replace("WITH RECURSIVE pairs AS (", "WITH RECURSIVE pairs AS MATERIALIZED (")
+        .replace("), edges AS (", "), edges AS MATERIALIZED (")},
+      |${spectralChain("", "edges", 20, 42L, mat = true)},
+      |cut0 AS MATERIALIZED (
+      |  SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS side
+      |  FROM it WHERE iter = 20),
+      |allv AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+      |sides AS MATERIALIZED (SELECT a.v, coalesce(c.side, 0) AS side
       |          FROM allv a LEFT JOIN cut0 c ON c.v = a.v),
-      |elow AS (SELECT e.src, e.dst FROM edges e
+      |elow AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
       |  JOIN sides a ON a.v = e.src JOIN sides b ON b.v = e.dst
       |  WHERE a.side = 0 AND b.side = 0),
-      |ehigh AS (SELECT e.src, e.dst FROM edges e
+      |ehigh AS MATERIALIZED (SELECT e.src, e.dst FROM edges e
       |  JOIN sides a ON a.v = e.src JOIN sides b ON b.v = e.dst
       |  WHERE a.side = 1 AND b.side = 1),
-      |${spectralChain("lo", "elow", 20, 42L)},
-      |${spectralChain("hi", "ehigh", 20, 42L)},
+      |${spectralChain("lo", "elow", 20, 42L, mat = true)},
+      |${spectralChain("hi", "ehigh", 20, 42L, mat = true)},
       |cutlo AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS sub
       |          FROM itlo WHERE iter = 20),
       |cuthi AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS sub
@@ -1031,6 +1053,46 @@ object GraphQueries {
     "q_from_adjlist" -> s"""$CHAIN
       |SELECT src, dst FROM edges""".stripMargin,
 
+    "q_mst" -> mstSql(rounds = 12),
+
+    // Backtrack the BFS predecessor tree for the 3 largest reached
+    // ids: the q_bfs oracle's dist+pred computation, materialized as
+    // predt, then a strictly-pos-decreasing recursion vertex :=
+    // predecessor(vertex).
+    "q_extract_paths" -> s"""${recChain
+        .replace("WITH RECURSIVE pairs AS (", "WITH RECURSIVE pairs AS MATERIALIZED (")
+        .replace("), edges AS (", "), edges AS MATERIALIZED (")},
+      |root AS MATERIALIZED (SELECT min(src) AS r FROM edges),
+      |d(v, dist) AS (
+      |  SELECT r, 0 FROM root
+      |  UNION
+      |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
+      |  WHERE d.dist < 60
+      |),
+      |dmin AS MATERIALIZED (
+      |  SELECT v, CAST(min(dist) AS BIGINT) AS distance FROM d GROUP BY v),
+      |predt AS MATERIALIZED (
+      |  SELECT dm.v, dm.distance,
+      |    CASE WHEN dm.v = (SELECT r FROM root) THEN dm.v
+      |         ELSE (SELECT min(e.src) FROM edges e
+      |               JOIN dmin d2 ON d2.v = e.src
+      |               WHERE e.dst = dm.v AND d2.distance = dm.distance - 1)
+      |    END AS predecessor
+      |  FROM dmin dm),
+      |dests AS MATERIALIZED (
+      |  SELECT v FROM predt ORDER BY v DESC LIMIT 3),
+      |wk(destination, pos, vertex) AS (
+      |  SELECT p.v, p.distance, p.v
+      |  FROM predt p JOIN dests dd ON dd.v = p.v
+      |  UNION ALL
+      |  SELECT w.destination, p2.distance, p1.predecessor
+      |  FROM wk w
+      |  JOIN predt p1 ON p1.v = w.vertex
+      |  JOIN predt p2 ON p2.v = p1.predecessor
+      |  WHERE w.pos > 0
+      |)
+      |SELECT destination, pos, vertex FROM wk""".stripMargin,
+
     // OUT-core h-index iteration on the DIRECTED pair graph: a vertex
     // reduces over its OUT-neighbors' values, so the delivery join is
     // REVERSED (owner = e.dst, receiver = e.src) relative to
@@ -1092,6 +1154,68 @@ object GraphQueries {
   private def recChain: String =
     CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
 
+  /** Unrolled Borůvka over the weighted symmetrized chain graph,
+   * mirroring [[graft.algos.Mst]] exactly: per round, per-component
+   * argmin cross edge by the unique (weight, src, dst) key, then
+   * component merge via min-label cc over the picked COMPONENT-pair
+   * graph (tiny and shrinking — running the cc over the full forest
+   * instead costs ~q_wcc per round). `rounds` past the fixpoint are
+   * no-ops (no cross edges → empty picks → identity merge). */
+  private def mstSql(rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { i =>
+      val pc = s"comp${i - 1}"
+      s"""xe$i AS MATERIALIZED (
+        |  SELECT e.src, e.dst, e.w, a.c AS cs, b.c AS cd
+        |  FROM canon e JOIN $pc a ON a.v = e.src
+        |  JOIN $pc b ON b.v = e.dst
+        |  WHERE a.c <> b.c),
+        |picks$i AS MATERIALIZED (
+        |  SELECT DISTINCT q.k.s AS src, q.k.d AS dst, q.k.w AS w FROM (
+        |    SELECT min(struct_pack(w := w, s := src, d := dst)) AS k
+        |    FROM (
+        |      SELECT cs AS c, w, src, dst FROM xe$i
+        |      UNION ALL SELECT cd, w, src, dst FROM xe$i
+        |    ) t GROUP BY c
+        |  ) q),
+        |pp$i AS MATERIALIZED (
+        |  SELECT DISTINCT a.c AS x, b.c AS y FROM picks$i p
+        |  JOIN $pc a ON a.v = p.src JOIN $pc b ON b.v = p.dst),
+        |ppsym$i AS MATERIALIZED (
+        |  SELECT x, y FROM pp$i UNION SELECT y AS x, x AS y FROM pp$i),
+        |mcc$i(c, m) AS (
+        |  SELECT DISTINCT c, c FROM $pc
+        |  UNION
+        |  SELECT e.y, t.m FROM mcc$i t JOIN ppsym$i e ON t.c = e.x
+        |  WHERE t.m < e.y),
+        |merged$i AS MATERIALIZED (
+        |  SELECT c, min(m) AS m FROM mcc$i GROUP BY c),
+        |comp$i AS MATERIALIZED (
+        |  SELECT t.v, g.m AS c FROM $pc t JOIN merged$i g ON g.c = t.c)"""
+        .stripMargin
+    }.mkString(",\n")
+    val allPicks = (1 to rounds).map(i => s"SELECT * FROM picks$i")
+      .mkString(" UNION ALL ")
+    s"""${recChain
+        .replace("WITH RECURSIVE pairs AS (", "WITH RECURSIVE pairs AS MATERIALIZED (")
+        .replace("), edges AS (", "), edges AS MATERIALIZED (")},
+      |directed AS MATERIALIZED (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |), wedges AS MATERIALIZED (
+      |  SELECT src, dst, min(weight) AS weight FROM (
+      |    SELECT src, dst, weight FROM directed
+      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |  ) t GROUP BY src, dst
+      |),
+      |canon AS MATERIALIZED (
+      |  SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM wedges
+      |  WHERE src < dst),
+      |mverts AS MATERIALIZED (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon) t),
+      |comp0 AS MATERIALIZED (SELECT v, v AS c FROM mverts),
+      |$roundCtes
+      |SELECT src, dst, w AS weight FROM ($allPicks) f""".stripMargin
+  }
+
   /** Deflated-power-iteration CTE chain over `edgesRel` (unweighted,
    * both directions stored), every CTE name suffixed with `sfx` so
    * several instances coexist in one statement (q_spectral_k's
@@ -1101,12 +1225,18 @@ object GraphQueries {
    * (same sigma, same centered-norm algebra), so the two engines share
    * the float path up to sum-order noise. */
   private def spectralChain(
-      sfx: String, edgesRel: String, iters: Int, seed: Long): String =
-    s"""verts$sfx AS (SELECT DISTINCT src AS v FROM $edgesRel),
-      |deg$sfx AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
+      sfx: String, edgesRel: String, iters: Int, seed: Long,
+      mat: Boolean = false): String = {
+    // mat = true MATERIALIZEs the helper CTEs: in q_spectral_k the
+    // sub-chains' recursion would otherwise re-inline (and re-run)
+    // the level-1 chain behind its induced edge relation on every
+    // recursive step — measured 70 s vs ~2 s at sf0.01.
+    val M = if (mat) " MATERIALIZED" else ""
+    s"""verts$sfx AS$M (SELECT DISTINCT src AS v FROM $edgesRel),
+      |deg$sfx AS$M (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
       |        FROM $edgesRel GROUP BY src),
-      |sg$sfx AS (SELECT 2.0 * max(d) AS s FROM deg$sfx),
-      |eplus$sfx AS (
+      |sg$sfx AS$M (SELECT 2.0 * max(d) AS s FROM deg$sfx),
+      |eplus$sfx AS$M (
       |  SELECT src, dst, 1.0 AS w FROM $edgesRel
       |  UNION ALL SELECT v, v, 0.0 FROM verts$sfx
       |),
@@ -1134,6 +1264,7 @@ object GraphQueries {
       |    ) raw
       |  ) centered
       |)""".stripMargin
+  }
 
   /** k-truss support peel on the dense graph, UNROLLED to `rounds`
    * rounds (peel is monotone: rounds past the fixpoint are no-ops;

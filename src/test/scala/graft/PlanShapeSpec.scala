@@ -47,6 +47,51 @@ class PlanShapeSpec extends SparkSpec {
     g.unpersist()
   }
 
+  test("neighbor sampling executes no window and no unbounded collect") {
+    // The fanout sample must stay a bounded min-k AGGREGATION: a
+    // per-src window rank (round-2 implementation) sorts a mega-hub's
+    // whole adjacency in one task. The run materializes intermediates
+    // (opaque final plan), so capture EVERY plan executed during the
+    // call via a listener and pin: no WindowExec, no
+    // collect_list/collect_set anywhere.
+    val g = cachedGraph()
+    g.edges.count()
+    import spark.implicits._
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        plans.add(qe.executedPlan.toString)
+        val hasWindow = qe.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec => w
+        }.nonEmpty
+        if (hasWindow) plans.add("WINDOW_EXEC_SEEN")
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val seeds = Seq(0L, 1L).toDF("id")
+      graft.algos.NeighborSampling.run(g, seeds, Seq(3, 2), 42L).count()
+      // listener callbacks are async; poll until they drain
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500) // allow stragglers
+      val all = plans.toArray.map(_.toString)
+      assert(all.nonEmpty)
+      assert(!all.exists(_ == "WINDOW_EXEC_SEEN"), "window in sampling plan")
+      assert(!all.exists(p => p.contains("collect_list") ||
+        p.contains("collect_set")), "unbounded collect in sampling plan")
+    } finally {
+      spark.listenerManager.unregister(listener)
+      g.unpersist()
+    }
+  }
+
   test("core-number round body: one exchange for histogram+fold+update") {
     val g = cachedGraph()
     g.edges.count()
