@@ -22,6 +22,15 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  *     × 1/((n−1)(n−2)) and × n/k for k sampled sources; unnormalized
  *     undirected → × 1/2.
  *
+ * EDGE betweenness ([[runEdges]], reference
+ * `edge_betweenness_centrality_impl` `betweenness_centrality.cu:67-108`,
+ * `accumulate_edges`): the same forward phase; the backward pass
+ * credits each ARC (v → w, dist_w = dist_v + 1) its term
+ * σ_v/σ_w · (1 + δ_w) directly. Normalized rescale is 1/(n(n−1))
+ * (`rescale_edges_betweenness_centrality:392-403`) with NO n/k
+ * source rescale — the reference comments that call out for edges
+ * (`:90`); unnormalized undirected halves, as for vertices.
+ *
  * Distributed shape: ALL sampled sources run simultaneously — state is
  * keyed (source, vertex), so the superstep count is 2×diameter total,
  * not per source. Forward: level-synchronous frontier expansion with
@@ -43,25 +52,22 @@ object Betweenness {
       seed: Long = 42L,
       maxDepth: Int = 10000)
 
-  /** Returns (id, bc). */
-  def run(g0: LinkGraph, cfg: Config = Config()): DataFrame =
-    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+  /** Forward-phase result shared by vertex and edge accumulation. */
+  private final case class Forward(
+      visited: Lineage.Handle, // (s, v, dist, sigma)
+      depth: Long,
+      kUsed: Long,
+      n: Long,
+      verts: Lineage.Handle)
 
-  private def runImpl(g0: LinkGraph, cfg: Config): DataFrame = {
-    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
-    val g = if (callerCached) g0 else g0.cached()
+  private def forwardPhase(g: LinkGraph, cfg: Config): Option[Forward] = {
     val p = g.numPartitions
     val spark = g.spark
-
     val edges = g.edges.select(SRC, DST)
     val verts = Lineage.materialize(
       g.vertices.repartition(p, col(ID)), eager = false)
     val n = verts.df.count()
-    if (n == 0) {
-      verts.release()
-      if (!callerCached) g.unpersist()
-      return spark.emptyDataFrame
-    }
+    if (n == 0) { verts.release(); return None }
 
     val sources: DataFrame = cfg.sources match {
       case Some(list) =>
@@ -76,7 +82,6 @@ object Betweenness {
     }
     val kUsed = sources.count()
 
-    // ---- forward phase: (s, v, dist, sigma) ----
     var frontier = Lineage.materialize(
       sources.select(col("s"), col("s").as("v"), lit(0L).as("dist"),
         lit(1.0).as("sigma")).repartition(p, col("s"), col("v")),
@@ -109,13 +114,32 @@ object Betweenness {
       frontier = newF
     }
     frontier.release()
+    Some(Forward(visited, depth, kUsed, n, verts))
+  }
+
+  /** Returns (id, bc). */
+  def run(g0: LinkGraph, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+
+  private def runImpl(g0: LinkGraph, cfg: Config): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val p = g.numPartitions
+    val spark = g.spark
+    val edges = g.edges.select(SRC, DST)
+
+    val fw = forwardPhase(g, cfg) match {
+      case None =>
+        if (!callerCached) g.unpersist()
+        return spark.emptyDataFrame
+      case Some(f) => f
+    }
+    val Forward(visited, depth, kUsed, n, verts) = fw
 
     // ---- backward phase: δ accumulation from the deepest layer ----
-    // deltas at the current depth level; rows (s, v, sigma, delta).
     var level = Lineage.materialize(
       visited.df.filter(col("dist") === depth)
         .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta")))
-    // accumulated (s, v, delta) rows for bc.
     val acc = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
     acc += level
 
@@ -176,5 +200,97 @@ object Betweenness {
     verts.release()
     if (!callerCached) g.unpersist()
     bc.df
+  }
+
+  /** Edge betweenness: (src, dst, bc) for every ARC of the input edge
+   * table (zero-filled), reference `edge_betweenness_centrality`. */
+  def runEdges(g0: LinkGraph, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runEdgesImpl(g0, cfg))
+
+  private def runEdgesImpl(g0: LinkGraph, cfg: Config): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val p = g.numPartitions
+    val spark = g.spark
+    val edges = g.edges.select(SRC, DST)
+
+    val fw = forwardPhase(g, cfg) match {
+      case None =>
+        if (!callerCached) g.unpersist()
+        return spark.emptyDataFrame
+      case Some(f) => f
+    }
+    val Forward(visited, depth, kUsed, n, verts) = fw
+
+    var level = Lineage.materialize(
+      visited.df.filter(col("dist") === depth)
+        .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta")))
+    val acc = scala.collection.mutable.ArrayBuffer[Lineage.Handle](level)
+    val edgeAcc = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
+
+    val rev = edges.select(col(DST).as("w"), col(SRC).as("v"))
+      .repartition(p, col("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var d = depth - 1
+    while (d >= 0) {
+      val vAtD = visited.df.filter(col("dist") === d)
+        .select(col("s"), col("v"), col("sigma"))
+      // Per-(s, arc) term — the edge credit itself.
+      val arcTerms = Lineage.materialize(
+        level.df
+          .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
+            col("delta").as("dw"))
+          .join(rev, Seq("w"))
+          .join(vAtD.select(col("s"), col("v"), col("sigma").as("sv")),
+            Seq("s", "v"))
+          .select(col("s"), col("v"), col("w"),
+            (col("sv") / col("sw") * (lit(1.0) + col("dw"))).as("t")))
+      edgeAcc += arcTerms
+      val terms = arcTerms.df
+        .groupBy(col("s"), col("v"))
+        .agg(sum("t").as("delta"))
+      val nextLevel = Lineage.materialize(
+        vAtD.join(terms, Seq("s", "v"), "left")
+          .select(col("s"), col("v"), col("sigma"),
+            coalesce(col("delta"), lit(0.0)).as("delta")))
+      acc += nextLevel
+      level = nextLevel
+      d -= 1
+    }
+
+    // Reference edge rescale: normalized → 1/(n(n−1)), NO n/k
+    // (betweenness_centrality.cu:90 comments the source rescale out);
+    // unnormalized undirected → × 1/2.
+    val factor: Double =
+      if (cfg.normalized) {
+        if (n > 1) 1.0 / (n.toDouble * (n - 1.0)) else 1.0
+      } else {
+        if (!g.directed) 0.5 else 1.0
+      }
+
+    val credits = edgeAcc.map(_.df.select(col("v"), col("w"), col("t")))
+      .reduceOption(_ union _)
+    val summed = credits.map(
+      _.groupBy(col("v").as(SRC), col("w").as(DST))
+        .agg(sum("t").as("t0")))
+    val out = Lineage.materialize(
+      summed match {
+        case Some(sdf) =>
+          edges.distinct().join(sdf.hint("shuffle_hash"),
+              Seq(SRC, DST), "left")
+            .select(col(SRC), col(DST),
+              (coalesce(col("t0"), lit(0.0)) * factor).as("bc"))
+        case None =>
+          edges.distinct()
+            .select(col(SRC), col(DST), lit(0.0).as("bc"))
+      })
+
+    acc.foreach(_.release())
+    edgeAcc.foreach(_.release())
+    rev.unpersist()
+    visited.release()
+    verts.release()
+    if (!callerCached) g.unpersist()
+    out.df
   }
 }

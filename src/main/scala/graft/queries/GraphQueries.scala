@@ -164,6 +164,18 @@ object GraphQueries {
         round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro"))
     }),
 
+    "q_pagerank_weighted" -> ((s, dir) => {
+      // PageRank over EDGE-WEIGHTED input (min-quantity weights): the
+      // reference's weighted path normalizes each contribution by the
+      // source's out-WEIGHT sum (pagerank_impl.cuh:158-164,248-257),
+      // not its out-degree. Fixed 10 iterations, micro-rounded.
+      val g = weightedChainGraph(s, dir)
+      val r = PageRank.run(g, PageRank.Config(alpha = 0.85, tol = 0.0,
+        maxIter = 10))
+      r.ranks.select(col(ID),
+        round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro"))
+    }),
+
     "q_wcc" -> ((s, dir) => {
       val g = chainGraph(s, dir)
       ConnectedComponents.run(g).components
@@ -218,6 +230,18 @@ object GraphQueries {
           Betweenness.Config(normalized = true, sources = Some(srcs)))
         .select(col(ID),
           round(col("bc") * 1e6, 0).cast("long").as("bc_micro"))
+    }),
+
+    "q_edge_betweenness" -> ((s, dir) => {
+      // Edge betweenness (reference edge_betweenness_centrality) over
+      // the dense graph from the same 4 sources as q_betweenness.
+      val g = allGraph(s, dir)
+      val srcs = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(4).collect().map(_.getLong(0)).toSeq
+      Betweenness.runEdges(g,
+          Betweenness.Config(normalized = true, sources = Some(srcs)))
+        .select(col(SRC), col(DST),
+          round(col("bc") * 1e6, 0).cast("long").as("ebc_micro"))
     }),
 
     "q_louvain" -> ((s, dir) => {
@@ -543,6 +567,7 @@ object GraphQueries {
       |FROM edges GROUP BY src""".stripMargin,
 
     "q_pagerank" -> pagerankSql(limit = None),
+    "q_pagerank_weighted" -> weightedPagerankSql,
     "q_pagerank_top10" -> pagerankSql(limit = Some(10)),
     "q_pagerank_personalized" -> personalizedPagerankSql,
 
@@ -797,6 +822,7 @@ object GraphQueries {
 
     "q_louvain" -> louvainSql(3),
     "q_betweenness" -> betweennessSql(levels = 4, k = 4),
+    "q_edge_betweenness" -> edgeBetweennessSql(levels = 4, k = 4),
 
     // H-index iteration mirroring the engine exactly (init c = degree,
     // c' = min(c, h-index of neighbor values)); 30 fixed rounds —
@@ -1493,6 +1519,69 @@ object GraphQueries {
       |FROM verts vv LEFT JOIN sums s ON s.v = vv.v""".stripMargin
   }
 
+  /** Edge-betweenness oracle: the [[betweennessSql]] skeleton with the
+   * per-arc backward terms MATERIALIZED before their per-vertex
+   * grouping, so the arc credits (the edge-BC values) and the vertex
+   * deltas (needed to keep descending) come from one computation.
+   * Normalized edge rescale = 1/(n(n−1)), no source rescale
+   * (reference betweenness_centrality.cu:90,392-403). */
+  private def edgeBetweennessSql(levels: Int, k: Int): String = {
+    val forward = (1 to levels).map { d =>
+      val pv = d - 1
+      s"""f$d AS MATERIALIZED (
+        |  SELECT p.s, e.dst AS v, $d AS dist, sum(p.sigma) AS sigma
+        |  FROM w$pv p JOIN edges e ON e.src = p.v
+        |  GROUP BY p.s, e.dst),
+        |w$d AS MATERIALIZED (
+        |  SELECT f.s, f.v, f.dist, f.sigma FROM f$d f
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM vis$pv x WHERE x.s = f.s AND x.v = f.v)),
+        |vis$d AS MATERIALIZED (
+        |  SELECT s, v FROM vis$pv UNION ALL SELECT s, v FROM w$d)"""
+        .stripMargin
+    }.mkString(",\n")
+    val allLevels = (0 to levels).map(d => s"SELECT * FROM w$d")
+      .mkString(" UNION ALL ")
+    val backward = (0 until levels).reverse.map { d =>
+      val nx = d + 1
+      s"""et$d AS MATERIALIZED (
+        |  SELECT l.s, e.src AS v, l.v AS w,
+        |    a.sigma / l.sigma * (1.0 + l.delta) AS t
+        |  FROM lvl$nx l
+        |  JOIN edges e ON e.dst = l.v
+        |  JOIN lay a ON a.s = l.s AND a.v = e.src AND a.dist = $d),
+        |t$d AS MATERIALIZED (
+        |  SELECT s, v, sum(t) AS delta FROM et$d GROUP BY s, v),
+        |lvl$d AS MATERIALIZED (
+        |  SELECT a.s, a.v, a.sigma, coalesce(t.delta, 0.0) AS delta
+        |  FROM (SELECT * FROM lay WHERE dist = $d) a
+        |  LEFT JOIN t$d t ON t.s = a.s AND t.v = a.v)""".stripMargin
+    }.mkString(",\n")
+    val allTerms = (0 until levels).map(d => s"SELECT v, w, t FROM et$d")
+      .mkString(" UNION ALL ")
+    s"""${DENSE.replace("WITH edges AS (", "WITH edges AS MATERIALIZED (")},
+      |verts AS MATERIALIZED (SELECT DISTINCT src AS v FROM edges),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      |srcs AS (SELECT v AS s FROM verts ORDER BY v LIMIT $k),
+      |w0 AS MATERIALIZED (SELECT s, s AS v, 0 AS dist, 1.0 AS sigma
+      |                    FROM srcs),
+      |vis0 AS (SELECT s, v FROM w0),
+      |$forward,
+      |lay AS MATERIALIZED ($allLevels),
+      |lvl$levels AS (SELECT s, v, sigma, 0.0 AS delta FROM lay
+      |               WHERE dist = $levels),
+      |$backward,
+      |credits AS (
+      |  SELECT v, w, sum(t) AS t0 FROM ($allTerms) q GROUP BY v, w
+      |)
+      |SELECT e.src, e.dst,
+      |  CAST(round(coalesce(c.t0, 0.0)
+      |    / ((SELECT n FROM nn) * ((SELECT n FROM nn) - 1.0))
+      |    * 1e6, 0) AS BIGINT) AS ebc_micro
+      |FROM edges e LEFT JOIN credits c ON c.v = e.src AND c.w = e.dst"""
+      .stripMargin
+  }
+
   /** Louvain inner-iteration CTE chain over `edgesRel` (weight 1.0),
    * every CTE name suffixed with `sfx` so several instances coexist
    * in one statement (ECG's ensemble). Defines vw$sfx, tw$sfx and the
@@ -1632,6 +1721,49 @@ object GraphQueries {
       |  LEFT JOIN common c ON c.src = e0.src AND c.dst = e0.dst
       |  WHERE e0.src < e0.dst
       |) e""".stripMargin
+
+  /** Fixed-10-iteration WEIGHTED PageRank over the min-quantity
+   * symmetrized chain graph: contributions normalized by out-WEIGHT
+   * sums (the engine's weighted path), same dangling/base structure as
+   * [[pagerankSql]]. */
+  private def weightedPagerankSql: String =
+    s"""${recChain},
+      |directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |), wedges AS (
+      |  SELECT src, dst, CAST(min(weight) AS DOUBLE) AS w FROM (
+      |    SELECT src, dst, weight FROM directed
+      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |  ) t GROUP BY src, dst
+      |),
+      |verts AS (SELECT DISTINCT src AS v FROM wedges),
+      |nv AS (SELECT count(*) AS n FROM verts),
+      |outw AS (SELECT src AS v, sum(w) AS ow FROM wedges GROUP BY src),
+      |eplus AS (
+      |  SELECT src, dst, w FROM wedges
+      |  UNION ALL SELECT v, v, 0.0 FROM verts
+      |),
+      |pr(iter, v, p) AS (
+      |  SELECT 0, v, 1.0 / (SELECT n FROM nv) FROM verts
+      |  UNION ALL
+      |  SELECT iter + 1, dst,
+      |         0.85 * contrib +
+      |         (0.85 * sum(dpart) OVER () + 0.15) / (SELECT n FROM nv)
+      |  FROM (
+      |    SELECT max(t.iter) AS iter, e.dst AS dst,
+      |           sum(CASE WHEN e.w > 0 THEN t.p * (e.w / o.ow) ELSE 0 END)
+      |             AS contrib,
+      |           sum(CASE WHEN e.w = 0 AND coalesce(o.ow, 0) = 0
+      |                    THEN t.p ELSE 0 END) AS dpart
+      |    FROM pr t
+      |    JOIN eplus e ON t.v = e.src
+      |    LEFT JOIN outw o ON o.v = t.v
+      |    WHERE t.iter < 10
+      |    GROUP BY e.dst
+      |  ) s
+      |)
+      |SELECT v AS id, CAST(round(p * 1e6, 0) AS BIGINT) AS pr_micro
+      |FROM pr WHERE iter = 10""".stripMargin
 
   /** Fixed-10-iteration PageRank as a DuckDB recursive CTE mirroring
    * the engine's math exactly (same nw = w/outw normalization, same
