@@ -142,6 +142,80 @@ object Ann {
       .filter(col("rank") <= k)
   }
 
+  /**
+   * IVF-flat approximate top-k — the inverted-file counterpart to
+   * [[lshCosineTopK]]: a coarse quantizer of `nCentroids` sampled
+   * corpus vectors partitions the corpus into buckets (each vector
+   * joins its nearest centroid); a query probes its `probes` nearest
+   * centroids and re-ranks exactly inside those buckets only.
+   *
+   * Determinism (and SQL reproducibility): centroids are the
+   * `nCentroids` corpus vectors with the smallest md5(seed:id) — the
+   * counter-hash sampling pattern — rather than Lloyd-refined means
+   * (a k-means refinement would converge differently across float
+   * summation orders). Assignment and probe selection compare
+   * MICRO-ROUNDED cosines with centroid-id tie-breaks, so bucket
+   * membership is bit-stable across engines.
+   *
+   * Scale: the quantizer is O(nCentroids) rows (broadcast); the
+   * assignment is one broadcast-join pass over the corpus with a
+   * struct-max aggregation (map-side combinable); the probe join
+   * touches ~probes/nCentroids of the corpus per query.
+   */
+  def ivfCosineTopK(
+      corpus: DataFrame, queries: DataFrame,
+      idCol: String, embCol: String, k: Int,
+      nCentroids: Int = 16, probes: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    require(nCentroids >= 1 && probes >= 1 && probes <= nCentroids)
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      asDouble(col(embCol)).as("ce"))
+    val centroids = c
+      .withColumn("__h", md5(concat_ws(":", lit(seed), col("neighbor_id"))))
+      .orderBy(col("__h"), col("neighbor_id")).limit(nCentroids)
+      .select(col("neighbor_id").as("centroid_id"), col("ce").as("centroid"))
+
+    def cm(e: Column): Column =
+      round(cosine(e, col("centroid")) * 1e6, 0).cast("long")
+
+    // Nearest centroid per corpus vector: struct-max on the unique
+    // (cos_micro, -centroid_id) key.
+    val assign = c.crossJoin(broadcast(centroids))
+      .select(col("neighbor_id"),
+        struct(cm(col("ce")).as("cm"),
+          (-col("centroid_id")).as("nc")).as("key"))
+      .groupBy("neighbor_id")
+      .agg(max("key").as("pick"))
+      .select(col("neighbor_id"), (-col("pick.nc")).as("centroid_id"))
+
+    // Probe set per query: `probes` nearest centroids (window over the
+    // nCentroids-bounded per-query score rows — a design constant).
+    val q = queries.select(col(idCol).as("query_id"),
+      asDouble(col(embCol)).as("qe"))
+    val wq = Window.partitionBy("query_id")
+      .orderBy(col("cm").desc, col("centroid_id").asc)
+    val qProbes = q.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("qe"), col("centroid_id"),
+        cm(col("qe")).as("cm"))
+      .withColumn("pr", row_number().over(wq))
+      .filter(col("pr") <= probes)
+      .select("query_id", "qe", "centroid_id")
+
+    val candidates = qProbes
+      .join(assign, Seq("centroid_id"))
+      .join(c, Seq("neighbor_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
+    candidates
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qe"), col("ce")) * 1e6, 0).cast("long")
+          .as("cos_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Near-duplicate pairs by cosine threshold within a blocking column.
    *
    * `subPlanes = 0` (default) is exact within each block. At 100 TB a

@@ -361,6 +361,16 @@ object GraphQueries {
       g.inducedSubgraph(ego).edges.select(SRC, DST)
     }),
 
+    "q_egonet_per_seed" -> ((s, dir) => {
+      // Per-seed radius-1 egonets (reference extract_ego's per-seed
+      // offset semantics — one tagged subgraph per seed, overlapping
+      // allowed), seeds = 3 smallest vertices.
+      val g = chainGraph(s, dir)
+      val seeds = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(3)
+      graft.algos.Egonet.extract(g, seeds, radius = 1)
+    }),
+
     "q_kcore" -> ((s, dir) => {
       // Generic k-core (k=3) of the dense graph; canonical edge list.
       KCore.subgraph(allGraph(s, dir), 3)
@@ -883,6 +893,18 @@ object GraphQueries {
       |)
       |SELECT e.src, e.dst FROM edges e
       |JOIN ego a ON e.src = a.v JOIN ego b ON e.dst = b.v""".stripMargin,
+
+    "q_egonet_per_seed" -> s"""$CHAIN,
+      |seeds AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 3),
+      |reach AS (
+      |  SELECT s.v AS seed, s.v FROM seeds s
+      |  UNION
+      |  SELECT s.v AS seed, e.dst AS v
+      |  FROM seeds s JOIN edges e ON e.src = s.v
+      |)
+      |SELECT a.seed, e.src, e.dst FROM edges e
+      |JOIN reach a ON a.v = e.src
+      |JOIN reach b ON b.seed = a.seed AND b.v = e.dst""".stripMargin,
 
     // Generic k-core peel (k=3) on the dense graph: same recursive
     // window-degree peel as q_core2; the peel is monotone, so rounds

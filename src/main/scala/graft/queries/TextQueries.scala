@@ -81,6 +81,14 @@ object TextQueries {
         "vec_id", "embedding", k = 5)
     }),
 
+    // IVF-flat scale path (sampled-centroid coarse quantizer); recall
+    // vs exact top-k additionally asserted in AnnSpec.
+    "q_embed_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Ann.ivfCosineTopK(e, e.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nCentroids = 16, probes = 4)
+    }),
+
     "q_multimodal_decode" -> ((s, dir) =>
       Multimodal.stubDecode(
         Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), "doc_id")),
@@ -215,6 +223,51 @@ object TextQueries {
         |WHERE CAST(round(list_cosine_similarity(
         |    CAST(a.embedding AS DOUBLE[]),
         |    CAST(b.embedding AS DOUBLE[])) * 1e6, 0) AS BIGINT) >= 300000""".stripMargin,
+
+    // IVF-flat: centroids = 16 smallest md5(42:vec_id); assignment and
+    // probe selection on micro-rounded cosine with centroid-id
+    // tie-breaks — exactly Ann.ivfCosineTopK.
+    "q_embed_ann_ivf" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS centroid_id, CAST(embedding AS DOUBLE[]) AS ce
+        |  FROM embeddings
+        |  ORDER BY md5(42 || ':' || vec_id), vec_id LIMIT 16
+        |),
+        |corpus AS (SELECT vec_id AS neighbor_id,
+        |           CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |assign AS (
+        |  SELECT neighbor_id,
+        |    -(max(struct_pack(cm := CAST(round(
+        |        list_cosine_similarity(e, ce) * 1e6, 0) AS BIGINT),
+        |      nc := -centroid_id)).nc) AS centroid_id
+        |  FROM corpus, cents GROUP BY neighbor_id
+        |),
+        |q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+        |      FROM embeddings WHERE vec_id < 10),
+        |qprobe AS (
+        |  SELECT query_id, qe, centroid_id FROM (
+        |    SELECT q.query_id, q.qe, c.centroid_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY CAST(round(list_cosine_similarity(q.qe, c.ce)
+        |          * 1e6, 0) AS BIGINT) DESC, c.centroid_id) AS pr
+        |    FROM q, cents c
+        |  ) WHERE pr <= 4
+        |),
+        |cand AS (
+        |  SELECT p.query_id, co.neighbor_id,
+        |    CAST(round(list_cosine_similarity(p.qe, co.e) * 1e6, 0)
+        |      AS BIGINT) AS cos_micro
+        |  FROM qprobe p
+        |  JOIN assign a ON a.centroid_id = p.centroid_id
+        |  JOIN corpus co ON co.neighbor_id = a.neighbor_id
+        |  WHERE p.query_id <> a.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, cos_micro, rank FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_micro DESC, neighbor_id)
+        |    AS BIGINT) AS rank
+        |  FROM cand
+        |) WHERE rank <= 5""".stripMargin,
 
     "q_multimodal_decode" ->
       """SELECT doc_id,

@@ -178,6 +178,27 @@ class BfsSpec extends SparkSpec {
   }
 }
 
+class EgonetSpec extends SparkSpec {
+  test("radius-2 egonets equal host BFS-bounded induced subgraphs") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val adj = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      .withDefaultValue(Nil)
+    import spark.implicits._
+    val seeds = Seq(0L, 33L)
+    val got = graft.algos.Egonet.extract(g, seeds.toDF("id"), radius = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val want = seeds.flatMap { s =>
+      var reach = Set(s)
+      for (_ <- 1 to 2) reach = reach ++ reach.flatMap(adj)
+      edges.collect {
+        case (u, v, _) if reach(u) && reach(v) => (s, u, v)
+      }
+    }.toSet
+    assert(got == want)
+  }
+}
+
 class CoarsenSpec extends SparkSpec {
   test("coarsen contracts labels and sums weights") {
     val s = spark

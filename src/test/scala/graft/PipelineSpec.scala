@@ -97,6 +97,24 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.4, s"recall@5 = $recall")
   }
 
+  test("IVF ANN recall vs exact; determinism; probes bound candidates") {
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Ann.cosineTopK(emb, q, "vec_id", "embedding", 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def ivf(probes: Int): Set[(Long, Long)] =
+      Ann.ivfCosineTopK(emb, q, "vec_id", "embedding", 5,
+        nCentroids = 16, probes = probes).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = ivf(4)
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.4, s"recall@5 = $recall")
+    // more probes -> recall monotonically non-decreasing (full probe =
+    // exact, since every bucket is searched)
+    val full = ivf(16)
+    assert(full == exact, "probing all centroids must equal exact top-k")
+    assert(ivf(4) == approx) // deterministic
+  }
+
   test("cosineTopK refuses an oversized query set unless overridden") {
     val q = emb.filter(col("vec_id") < 20)
     val e = intercept[IllegalArgumentException] {
