@@ -43,6 +43,17 @@ object Mst {
   def forest(g0: LinkGraph, maxIter: Int = 64): DataFrame =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, maxIter))
 
+  /** MAXIMUM spanning forest — the reference's wrapper negates the
+   * weights around the minimum call and negates them back
+   * (`python/cugraph/cugraph/tree/minimum_spanning_tree.py:44-52`);
+   * the (−w, src, dst) pick key keeps the forest unique. */
+  def maximumForest(g0: LinkGraph, maxIter: Int = 64): DataFrame = {
+    val neg = g0.copy(edges = g0.edges.select(
+      col(SRC), col(DST), (-col(WEIGHT)).as(WEIGHT)))
+    forest(neg, maxIter)
+      .select(col(SRC), col(DST), (-col(WEIGHT)).as(WEIGHT))
+  }
+
   private def runImpl(g0: LinkGraph, maxIter: Int): DataFrame = {
     val p = g0.numPartitions
     val spark = g0.spark

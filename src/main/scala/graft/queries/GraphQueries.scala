@@ -497,6 +497,28 @@ object GraphQueries {
       CoreNumber.run(g, degreeType = CoreNumber.Out)
     }),
 
+    "q_degree_centrality" -> ((s, dir) => {
+      // (in+out)/(n-1) over the directed pair graph — the reference's
+      // degree_centrality (python/cugraph/cugraph/centrality/
+      // degree_centrality.py:52-56, validated vs networkx semantics).
+      val g = memo(s, dir, "dchain") {
+        val de = chainPairs(s, dir)
+          .select(col("u").as(SRC), col("v").as(DST)).distinct()
+          .withColumn(WEIGHT, lit(1.0))
+        LinkGraph(de, directed = true,
+          s.sessionState.conf.numShufflePartitions)
+      }
+      val n = g.numVertices
+      g.degreeTable.select(col(ID),
+        round((col("out_degree") + col("in_degree"))
+          / (n - 1.0) * 1e6, 0).cast("long").as("dc_micro"))
+    }),
+
+    "q_mst_max" -> ((s, dir) =>
+      // Maximum spanning forest (reference maximum_spanning_tree:
+      // negate-weights wrapper around the minimum call).
+      Mst.maximumForest(weightedChainGraph(s, dir))),
+
     "q_mst" -> ((s, dir) =>
       // Minimum spanning forest of the weighted symmetrized chain
       // graph (reference minimum_spanning_tree, algorithms.hpp:743);
@@ -1102,6 +1124,23 @@ object GraphQueries {
       |SELECT src, dst FROM edges""".stripMargin,
 
     "q_mst" -> mstSql(rounds = 12),
+    "q_mst_max" -> mstSql(rounds = 12, maximum = true),
+
+    "q_degree_centrality" -> s"""$CHAIN,
+      |dedges AS (SELECT DISTINCT u AS src, v AS dst FROM pairs),
+      |verts AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges) t),
+      |nv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM verts),
+      |degs AS (
+      |  SELECT v, sum(o) AS outd, sum(i) AS ind FROM (
+      |    SELECT src AS v, 1 AS o, 0 AS i FROM dedges
+      |    UNION ALL SELECT dst, 0, 1 FROM dedges
+      |  ) t GROUP BY v
+      |)
+      |SELECT vv.v AS id,
+      |  CAST(round((coalesce(d.outd, 0) + coalesce(d.ind, 0))
+      |    / ((SELECT n FROM nv) - 1.0) * 1e6, 0) AS BIGINT) AS dc_micro
+      |FROM verts vv LEFT JOIN degs d ON d.v = vv.v""".stripMargin,
 
     // Backtrack the BFS predecessor tree for the 3 largest reached
     // ids: the q_bfs oracle's dist+pred computation, materialized as
@@ -1209,7 +1248,11 @@ object GraphQueries {
    * graph (tiny and shrinking — running the cc over the full forest
    * instead costs ~q_wcc per round). `rounds` past the fixpoint are
    * no-ops (no cross edges → empty picks → identity merge). */
-  private def mstSql(rounds: Int): String = {
+  private def mstSql(rounds: Int, maximum: Boolean = false): String = {
+    // maximum = true mirrors Mst.maximumForest: pick on negated
+    // weights, emit the original sign (the reference's wrapper).
+    val sgn = if (maximum) "-" else ""
+
     val roundCtes = (1 to rounds).map { i =>
       val pc = s"comp${i - 1}"
       s"""xe$i AS MATERIALIZED (
@@ -1255,13 +1298,13 @@ object GraphQueries {
       |  ) t GROUP BY src, dst
       |),
       |canon AS MATERIALIZED (
-      |  SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM wedges
+      |  SELECT src, dst, CAST(${sgn}weight AS DOUBLE) AS w FROM wedges
       |  WHERE src < dst),
       |mverts AS MATERIALIZED (SELECT DISTINCT v FROM (
       |  SELECT src AS v FROM canon UNION ALL SELECT dst FROM canon) t),
       |comp0 AS MATERIALIZED (SELECT v, v AS c FROM mverts),
       |$roundCtes
-      |SELECT src, dst, w AS weight FROM ($allPicks) f""".stripMargin
+      |SELECT src, dst, ${sgn}w AS weight FROM ($allPicks) f""".stripMargin
   }
 
   /** Deflated-power-iteration CTE chain over `edgesRel` (unweighted,

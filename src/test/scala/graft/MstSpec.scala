@@ -64,6 +64,20 @@ class MstSpec extends SparkSpec {
     assert(math.abs(got.toSeq.map(_._3).sum -
       want.toSeq.map(_._3).sum) < 1e-12)
   }
+
+  test("maximum spanning forest = Kruskal on negated weights") {
+    val edges = Seq(
+      (0L, 1L, 4.0), (1L, 2L, 1.0), (2L, 0L, 3.0), (2L, 3L, 2.0),
+      (3L, 0L, 7.0)).flatMap { case (u, v, w) =>
+      Seq((u, v, w), (v, u, w))
+    }
+    val got = Mst.maximumForest(graphOf(edges)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = kruskal(edges.map { case (u, v, w) => (u, v, -w) })
+      .map { case (u, v, w) => (u, v, -w) }
+    assert(got == want)
+    assert(got.toSeq.map(_._3).sum == 4.0 + 3.0 + 7.0)
+  }
 }
 
 class ExtractPathsSpec extends SparkSpec {
