@@ -121,7 +121,13 @@ object Spectral {
     graft.core.SparkTuning.withoutAqe(g0.spark) {
       val callerCached = g0.edges.storageLevel != StorageLevel.NONE
       val g = if (callerCached) g0 else g0.cached()
-      val out = Lineage.materialize(clusterRec(g, g.vertices, k, 0L, cfg))
+      // The recursion caches each induced subgraph; all of them must
+      // stay pinned until the FINAL frame materializes (the per-level
+      // labels are lazy views over them), then be dropped together.
+      val pinned = scala.collection.mutable.ArrayBuffer[LinkGraph]()
+      val out = Lineage.materialize(
+        clusterRec(g, g.vertices, k, 0L, cfg, pinned))
+      pinned.foreach(_.unpersist())
       if (!callerCached) g.unpersist()
       out.df
     }
@@ -132,7 +138,8 @@ object Spectral {
       verts: DataFrame,
       k: Int,
       base: Long,
-      cfg: Config): DataFrame = {
+      cfg: Config,
+      pinned: scala.collection.mutable.ArrayBuffer[LinkGraph]): DataFrame = {
     if (k == 1 || g.edges.isEmpty)
       return verts.select(col(ID), lit(base).as("cluster"))
     val cut = fiedlerCut(g, cfg)
@@ -145,18 +152,16 @@ object Spectral {
     val kHigh = k - kLow
     val lowVerts = sides.filter(col("side") === 0L).select(ID)
     val highVerts = sides.filter(col("side") === 1L).select(ID)
-    val low = clusterRec(
-      LinkGraph(
-        LinkGraph.partitioned(g.inducedSubgraph(lowVerts).edges,
-          g.numPartitions),
-        directed = false, g.numPartitions).cached(),
-      lowVerts, kLow, base, cfg)
-    val high = clusterRec(
-      LinkGraph(
-        LinkGraph.partitioned(g.inducedSubgraph(highVerts).edges,
-          g.numPartitions),
-        directed = false, g.numPartitions).cached(),
-      highVerts, kHigh, base + kLow, cfg)
+    def sub(vs: DataFrame): LinkGraph = {
+      val s = LinkGraph(
+        LinkGraph.partitioned(g.inducedSubgraph(vs).edges, g.numPartitions),
+        directed = false, g.numPartitions).cached()
+      pinned += s
+      s
+    }
+    val low = clusterRec(sub(lowVerts), lowVerts, kLow, base, cfg, pinned)
+    val high = clusterRec(sub(highVerts), highVerts, kHigh, base + kLow,
+      cfg, pinned)
     low.union(high)
   }
 
