@@ -48,8 +48,20 @@ object ExtractPaths {
     var out = cur.df.select("destination", "pos", "vertex")
     val scratch = scala.collection.mutable.ArrayBuffer[Lineage.Handle](cur)
 
+    // Safety bound: a CONSISTENT predecessor tree strictly decreases
+    // pos every hop, so maxPos hops always suffice; corrupt input
+    // (e.g. a predecessor cycle from a hand-edited frame) terminates
+    // with an error instead of looping forever.
+    val maxHops = {
+      val r = cur.df.agg(max("pos")).head()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var hops = 0L
     var active = cur.df.filter(col("pos") > 0).count()
     while (active > 0) {
+      hops += 1
+      require(hops <= maxHops + 1,
+        s"predecessor frame is not a tree (cycle detected after $hops hops)")
       val next = Lineage.materialize(
         cur.df.filter(col("pos") > 0)
           .select(col("destination"), col("predecessor").as("vertex"))
