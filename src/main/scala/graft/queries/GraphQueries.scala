@@ -181,6 +181,36 @@ object GraphQueries {
       ConnectedComponents.run(g).components
     }),
 
+    "q_checkpoint_roundtrip" -> ((s, dir) => {
+      // Drives the checkpoint SINK through the correctness gate: run
+      // WCC committing every superstep, then RESTORE the latest
+      // committed manifest and emit the restored state — which must
+      // equal the plain q_wcc oracle. Certifies commit + manifest +
+      // fingerprint + restore end-to-end, not just in ScalaTest.
+      val root = s"/tmp/graft_ckpt_${Integer.toHexString(dir.hashCode)}"
+      org.apache.hadoop.fs.FileSystem.getLocal(
+        s.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root), true)
+      val cm = new graft.checkpoint.CheckpointManager(root, s)
+      val g = chainGraph(s, dir)
+      ConnectedComponents.run(g,
+        ConnectedComponents.Config(checkpointEvery = 1,
+          checkpoint = Some(cm))).components.count()
+      val it = cm.latestIteration("wcc").getOrElse(
+        sys.error("no committed checkpoint"))
+      cm.restore("wcc", it).select("id", "component")
+    }),
+
+    "q_component_count" -> ((s, dir) => {
+      // Scalar count-distinct over component labels (reference
+      // connectivity.py:86 unique-label count).
+      import s.implicits._
+      val comps = ConnectedComponents.run(chainGraph(s, dir)).components
+      Seq(Tuple1(
+        comps.agg(countDistinct("component")).head().getLong(0)))
+        .toDF("n_components")
+    }),
+
     "q_lpa" -> ((s, dir) => {
       val g = chainGraph(s, dir)
       LabelPropagation.run(g, LabelPropagation.Config(maxIter = 5)).labels
@@ -614,6 +644,29 @@ object GraphQueries {
       .replace("WITH pairs", "WITH RECURSIVE pairs"),
 
     "q_lpa" -> lpaSql(5),
+
+    // Restored checkpoint state == the WCC fixpoint.
+    "q_checkpoint_roundtrip" -> s"""$CHAIN, verts AS (SELECT DISTINCT src AS v FROM edges),
+      |cc(v, comp) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.v = e.src
+      |  WHERE cc.comp < e.dst
+      |)
+      |SELECT v AS id, min(comp) AS component FROM cc GROUP BY v""".stripMargin
+      .replace("WITH pairs", "WITH RECURSIVE pairs"),
+
+    "q_component_count" -> s"""$CHAIN, verts AS (SELECT DISTINCT src AS v FROM edges),
+      |cc(v, comp) AS (
+      |  SELECT v, v FROM verts
+      |  UNION
+      |  SELECT e.dst, cc.comp FROM cc JOIN edges e ON cc.v = e.src
+      |  WHERE cc.comp < e.dst
+      |),
+      |comps AS (SELECT v, min(comp) AS component FROM cc GROUP BY v)
+      |SELECT count(DISTINCT component) AS n_components FROM comps"""
+      .stripMargin
+      .replace("WITH pairs", "WITH RECURSIVE pairs"),
 
     "q_triangles" -> s"""$DENSE,
       |deg AS (SELECT src AS v, count(*) AS d FROM edges GROUP BY src),
