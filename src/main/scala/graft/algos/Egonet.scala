@@ -39,8 +39,9 @@ object Egonet {
     for (_ <- 1 to radius) {
       val next = Lineage.materialize(
         reach.df
-          .union(reach.df
-            .join(edges.hint("shuffle_hash"), reach.df("v") === edges(SRC))
+          .union(edges
+            .join(reach.df.hint("shuffle_hash"),
+              reach.df("v") === edges(SRC))
             .select(col("seed"), col(DST).as("v")))
           .distinct(),
         eager = false)
