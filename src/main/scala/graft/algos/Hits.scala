@@ -70,13 +70,19 @@ object Hits {
     var converged = false
     while (!converged && iter < cfg.maxIter) {
       iter += 1
-      // auth_raw(v) = sum of hub(u) over in-edges (hub normalized lazily)
-      val authRaw = fwd
-        .join(state.df.select(col(ID), (col("hub_raw") / hubNorm).as("hub"))
-            .hint("shuffle_hash"),
-          fwd(SRC) === col(ID))
-        .select(col(DST).as(ID), col("hub").as("m"))
-        .groupBy(ID).agg(sum("m").as("auth_in"))
+      // auth_raw(v) = sum of hub(u) over in-edges (hub normalized lazily).
+      // Materialized: the frame feeds BOTH the hub gather and the state
+      // join below — left as a view, its whole subtree (edge join +
+      // reduce) would execute twice inside the superstep job.
+      val authRawH = Lineage.materialize(
+        fwd
+          .join(state.df.select(col(ID), (col("hub_raw") / hubNorm).as("hub"))
+              .hint("shuffle_hash"),
+            fwd(SRC) === col(ID))
+          .select(col(DST).as(ID), col("hub").as("m"))
+          .groupBy(ID).agg(sum("m").as("auth_in")),
+        eager = false)
+      val authRaw = authRawH.df
       // hub_raw(u) = sum of auth_raw(v) over out-edges (gather via rev)
       val hubRaw = rev
         .join(authRaw.hint("shuffle_hash"), rev(DST) === authRaw(ID))
@@ -105,6 +111,7 @@ object Hits {
       }
       hubNorm = hubMax
       authNorm = authMax
+      authRawH.release()
       state.release()
       state = next
     }

@@ -113,4 +113,34 @@ class ExtractPathsSpec extends SparkSpec {
       Seq(1L, 5L).toDF("destination")).collect()
     assert(rows.map(_.getLong(0)).toSet == Set(1L))
   }
+
+  test("1000-hop chain backtracks in 10 doubling rounds, not 1000") {
+    // Predecessor tree of a pure path 0->1->...->1000, built directly
+    // (no BFS needed): pointer doubling must finish in
+    // ceil(log2(1001)) = 10 rounds where the old one-hop walk took
+    // 1000 supersteps.
+    import spark.implicits._
+    val trav = (0L to 1000L)
+      .map(v => (v, v, math.max(0L, v - 1L)))
+      .toDF("id", "distance", "predecessor")
+    val rows = ExtractPaths.fromPredecessors(
+      trav, Seq(1000L).toDF("destination")).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(ExtractPaths.lastRounds == 10)
+    assert(rows.length == 1001)
+    assert(rows.sortBy(_._1).map(_._2).toSeq == (0L to 1000L))
+  }
+
+  test("predecessor cycle fails loudly instead of looping") {
+    // 0 is a proper root; 5<->6 is a cycle whose claimed distances
+    // never reach 0 — the unrooted-destination guard must throw.
+    import spark.implicits._
+    val trav = Seq(
+      (0L, 0L, 0L), (1L, 1L, 0L),
+      (5L, 4L, 6L), (6L, 5L, 5L)).toDF("id", "distance", "predecessor")
+    val err = intercept[IllegalArgumentException] {
+      ExtractPaths.fromPredecessors(trav, Seq(1L, 6L).toDF("destination"))
+    }
+    assert(err.getMessage.contains("rooted tree"))
+  }
 }
