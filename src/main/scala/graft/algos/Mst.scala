@@ -2,7 +2,6 @@ package graft.algos
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.core.{Lineage, LinkGraph}
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
@@ -24,39 +23,126 @@ import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
  *      which any algorithm using the same key agrees on; the SQL
  *      oracle and the host Kruskal spec both do);
  *   3. add the distinct picked edges to the forest; merge components
- *      by running min-label connected components over the picked
- *      COMPONENT-pair graph (nodes = current components — a frame that
- *      at least halves every round) and relabeling vertex components
+ *      over the picked COMPONENT-pair graph (one pair per picked edge,
+ *      nodes = current components — a frame that at least halves every
+ *      round) to min-label closure, then relabel vertex components
  *      through the merge map.
  *
+ * The merge (step 3) is SIZE-ADAPTIVE, like a broadcast-join
+ * threshold: once the component-pair frame fits comfortably on the
+ * driver (≤ [[Mst.Config.mergeCollectThreshold]] rows — components at
+ * least halve per round, so all but the first rounds of even a
+ * 10^10-vertex run qualify) it is collected into a min-representative
+ * union-find and broadcast back, costing ZERO inner supersteps; above
+ * the threshold it runs distributed HASH-TO-MIN POINTER JUMPING
+ * (lbl'(v) = min(lbl(v), min nbr lbl, lbl(lbl(v))) — the label-chain
+ * halving of the reference's in-kernel shortcutting, O(log diameter)
+ * rounds). The previous full nested CC per round paid O(diameter)
+ * driver-latency supersteps at EVERY size.
+ *
  * Rounds are O(log V) (components at least halve). Each round is two
- * co-keyed label joins + one struct-min aggregation + a WCC on the
- * shrinking component graph — no windows, no arrays.
+ * co-keyed label joins + one struct-min aggregation + the merge — no
+ * windows, no arrays.
  *
  * Returns the forest's canonical edges (src, dst, weight).
  */
 object Mst {
 
+  final case class Config(
+      maxIter: Int = 64,
+      // Component-pair rows at or below this collect to a driver
+      // union-find (16 B/row -> ~16 MB at the default); 0 forces the
+      // distributed pointer-jump path (spec coverage).
+      mergeCollectThreshold: Long = 1L << 20)
+
   /** Rounds taken by the most recent [[forest]] call (oracle sizing). */
   @volatile var lastRounds: Int = 0
 
-  def forest(g0: LinkGraph, maxIter: Int = 64): DataFrame =
-    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, maxIter))
+  private val debug = sys.env.contains("SPARK_GRAFT_MST_DEBUG")
+
+  def forest(g0: LinkGraph, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
 
   /** MAXIMUM spanning forest — the reference's wrapper negates the
    * weights around the minimum call and negates them back
    * (`python/cugraph/cugraph/tree/minimum_spanning_tree.py:44-52`);
    * the (−w, src, dst) pick key keeps the forest unique. */
-  def maximumForest(g0: LinkGraph, maxIter: Int = 64): DataFrame = {
+  def maximumForest(g0: LinkGraph, cfg: Config = Config()): DataFrame = {
     val neg = g0.copy(edges = g0.edges.select(
       col(SRC), col(DST), (-col(WEIGHT)).as(WEIGHT)))
-    forest(neg, maxIter)
+    forest(neg, cfg)
       .select(col(SRC), col(DST), (-col(WEIGHT)).as(WEIGHT))
   }
 
-  private def runImpl(g0: LinkGraph, maxIter: Int): DataFrame = {
+  /** Driver union-find over collected component pairs, representative
+   * = MINIMUM member (union attaches the larger root under the
+   * smaller, so find() lands on the component min — the same labels
+   * the distributed closure computes). */
+  private def unionFindMin(pairs: Array[(Long, Long)]): Seq[(Long, Long)] = {
+    val parent = scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      var c = x
+      while (parent.getOrElse(c, c) != r) {
+        val n = parent.getOrElse(c, c); parent(c) = r; c = n
+      }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    nodes.iterator.map(n => (n, find(n))).toSeq
+  }
+
+  /** Distributed min-label closure over the (symmetric, cached)
+   * component-pair frame by hash-to-min pointer jumping. Labels are
+   * monotone non-increasing and always member ids, so the fixpoint's
+   * stable common value per component is its minimum. Returns the
+   * (c, m) labels plus the cache handle backing them — the caller
+   * releases it once the labels are folded into comp. */
+  private def minLabelMerge(
+      ppSym: DataFrame, p: Int): (DataFrame, Lineage.Handle) = {
+    var lab = Lineage.materialize(
+      ppSym.select(col("x").as("c")).distinct()
+        .select(col("c"), col("c").as("m"))
+        .repartition(p, col("c")),
+      eager = false)
+    var changed = 1L
+    var guard = 0
+    while (changed > 0) {
+      guard += 1
+      require(guard <= 64,
+        "minLabelMerge failed to converge in 64 pointer-jump rounds")
+      val nbr = ppSym
+        .join(lab.df.hint("shuffle_hash"), ppSym("y") === lab.df("c"))
+        .select(ppSym("x"), col("m").as("nm"))
+        .groupBy("x").agg(min("nm").as("nm"))
+      val one = lab.df
+        .join(nbr.hint("shuffle_hash"), lab.df("c") === nbr("x"), "left")
+        .select(lab.df("c"), lab.df("m").as("old"),
+          least(lab.df("m"), coalesce(col("nm"), lab.df("m"))).as("m1"))
+      val ptr = lab.df.select(col("c").as("pc"), col("m").as("pm"))
+      val next = Lineage.materialize(
+        one.join(ptr.hint("shuffle_hash"), one("m1") === col("pc"), "left")
+          .select(one("c"),
+            least(col("m1"), coalesce(col("pm"), col("m1"))).as("m"),
+            col("old")),
+        eager = false)
+      changed = next.df.filter(col("m") < col("old")).count()
+      if (debug) println(s"[mst] inner iter=$guard changed=$changed")
+      lab.release()
+      lab = next
+    }
+    (lab.df.select(col("c"), col("m")), lab)
+  }
+
+  private def runImpl(g0: LinkGraph, cfg: Config): DataFrame = {
     val p = g0.numPartitions
     val spark = g0.spark
+    import spark.implicits._
 
     val canon = Lineage.materialize(
       g0.edges.filter(col(SRC) =!= col(DST))
@@ -74,71 +160,89 @@ object Mst {
         .repartition(p, col(ID)),
       eager = false)
 
-    var mst: Option[Lineage.Handle] = None
+    // Picked edges accumulate as a lazy union over the per-round
+    // cached pick frames; one materialization at the end instead of
+    // one per round.
+    val pickHandles = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
+    var mstUnion: Option[DataFrame] = None
     var it = 0
-    var crossCnt = 1L
+    var nPairs = 1L
 
-    while (crossCnt > 0 && it < maxIter) {
+    while (nPairs > 0 && it < cfg.maxIter) {
       it += 1
       val cross = canon.df
         .join(comp.df.select(col(ID).as(SRC), col("comp").as("cs")), Seq(SRC))
         .join(comp.df.select(col(ID).as(DST), col("comp").as("cd")), Seq(DST))
         .filter(col("cs") =!= col("cd"))
       val crossH = Lineage.materialize(cross, eager = false)
-      crossCnt = crossH.df.count()
-      if (crossCnt > 0) {
-        // Per-component minimum cross edge by (weight, src, dst).
-        val key = struct(col(WEIGHT).as("w"), col(SRC).as("s"),
-          col(DST).as("d"))
-        val picks = crossH.df
-          .select(col("cs").as("c"), key.as("k"))
-          .union(crossH.df.select(col("cd").as("c"), key.as("k")))
-          .groupBy("c").agg(min("k").as("k"))
-          .select(col("k.s").as(SRC), col("k.d").as(DST),
-            col("k.w").as(WEIGHT))
-          .distinct()
-        val picksH = Lineage.materialize(picks)
-        // Merge components over the picked COMPONENT pairs.
-        val pickPairs = picksH.df
+      // Per-component minimum cross edge by (weight, src, dst).
+      val key = struct(col(WEIGHT).as("w"), col(SRC).as("s"),
+        col(DST).as("d"))
+      val picks = crossH.df
+        .select(col("cs").as("c"), key.as("k"))
+        .union(crossH.df.select(col("cd").as("c"), key.as("k")))
+        .groupBy("c").agg(min("k").as("k"))
+        .select(col("k.s").as(SRC), col("k.d").as(DST),
+          col("k.w").as(WEIGHT))
+        .distinct()
+      val picksH = Lineage.materialize(picks)
+      // Merge components over the picked COMPONENT pairs (one DIRECTED
+      // row per picked edge; both merge paths tolerate duplicates, so
+      // no distinct here). Empty pairs <=> no cross edges: terminate.
+      val ppH = Lineage.materialize(
+        picksH.df
           .join(comp.df.select(col(ID).as(SRC), col("comp").as("cs")),
             Seq(SRC))
           .join(comp.df.select(col(ID).as(DST), col("comp").as("cd")),
             Seq(DST))
-          .select(col("cs").as(SRC), col("cd").as(DST))
-        val compGraph = LinkGraph(
-          LinkGraph.partitioned(
-            pickPairs.union(
-                pickPairs.select(col(DST).as(SRC), col(SRC).as(DST)))
-              .distinct()
-              .withColumn(WEIGHT, lit(1.0)),
-            p),
-          directed = false, p)
-        val merged = ConnectedComponents.run(compGraph).components
-          .select(col(ID).as("comp"), col("component").as("newc"))
+          .select(col("cs").as("x"), col("cd").as("y")),
+        eager = false)
+      nPairs = ppH.df.count()
+      if (debug) println(s"[mst] round=$it pairs=$nPairs " +
+        f"t=${System.nanoTime() / 1e9}%.1f")
+      if (nPairs > 0) {
+        pickHandles += picksH
+        mstUnion = Some(mstUnion.map(_.union(picksH.df)).getOrElse(picksH.df))
+        val (merged, mergedH) =
+          if (nPairs <= cfg.mergeCollectThreshold) {
+            val pairs = ppH.df.collect().map(r => (r.getLong(0), r.getLong(1)))
+            (broadcast(unionFindMin(pairs).toDF("comp", "newc")),
+              None: Option[Lineage.Handle])
+          } else {
+            val ppSym = Lineage.materialize(
+              ppH.df.union(ppH.df.select(col("y").as("x"), col("x").as("y")))
+                .distinct()
+                .repartition(p, col("y")),
+              eager = false)
+            val (lab, h) = minLabelMerge(ppSym.df, p)
+            val out = Lineage.materialize(
+              lab.select(col("c").as("comp"), col("m").as("newc")))
+            h.release()
+            ppSym.release()
+            (out.df.hint("shuffle_hash"), Some(out))
+          }
         val newComp = Lineage.materialize(
-          comp.df.join(merged.hint("shuffle_hash"), Seq("comp"), "left")
+          comp.df.join(merged, Seq("comp"), "left")
             .select(col(ID),
               coalesce(col("newc"), col("comp")).as("comp"))
             .repartition(p, col(ID)))
-        val newMst = Lineage.materialize(
-          mst.map(_.df.union(picksH.df)).getOrElse(picksH.df))
-        mst.foreach(_.release())
-        mst = Some(newMst)
-        picksH.release()
+        mergedH.foreach(_.release())
         comp.release()
         comp = newComp
+      } else {
+        picksH.release()
       }
+      ppH.release()
       crossH.release()
     }
     lastRounds = it
     comp.release()
     canon.release()
-    val out = mst.map { h =>
-      val o = Lineage.materialize(h.df.select(SRC, DST, WEIGHT))
-      h.release()
+    val out = mstUnion.map { u =>
+      val o = Lineage.materialize(u.select(SRC, DST, WEIGHT))
+      pickHandles.foreach(_.release())
       o.df
     }.getOrElse {
-      import spark.implicits._
       spark.emptyDataset[(Long, Long, Double)].toDF(SRC, DST, WEIGHT)
     }
     out

@@ -544,17 +544,30 @@ object GraphQueries {
           / (n - 1.0) * 1e6, 0).cast("long").as("dc_micro"))
     }),
 
-    "q_mst_max" -> ((s, dir) =>
+    "q_mst_max" -> ((s, dir) => {
       // Maximum spanning forest (reference maximum_spanning_tree:
       // negate-weights wrapper around the minimum call).
-      Mst.maximumForest(weightedChainGraph(s, dir))),
+      val f = Mst.maximumForest(weightedChainGraph(s, dir))
+      // mstSql unrolls exactly 12 Borůvka rounds; if the GATE corpus
+      // (not just a fixture) ever needs more, fail the engine side
+      // loudly instead of silently drifting past a truncated oracle.
+      require(Mst.lastRounds <= 12,
+        s"q_mst_max took ${Mst.lastRounds} Borůvka rounds > the 12 the " +
+          "SQL oracle unrolls; raise mstSql(rounds)")
+      f
+    }),
 
-    "q_mst" -> ((s, dir) =>
+    "q_mst" -> ((s, dir) => {
       // Minimum spanning forest of the weighted symmetrized chain
       // graph (reference minimum_spanning_tree, algorithms.hpp:743);
       // the (weight, src, dst) pick key makes the forest unique, so
       // the oracle's unrolled Borůvka produces the identical edge set.
-      Mst.forest(weightedChainGraph(s, dir))),
+      val f = Mst.forest(weightedChainGraph(s, dir))
+      require(Mst.lastRounds <= 12,
+        s"q_mst took ${Mst.lastRounds} Borůvka rounds > the 12 the " +
+          "SQL oracle unrolls; raise mstSql(rounds)")
+      f
+    }),
 
     "q_extract_paths" -> ((s, dir) => {
       // Root→destination paths from the BFS predecessor tree

@@ -65,6 +65,21 @@ class MstSpec extends SparkSpec {
       want.toSeq.map(_._3).sum) < 1e-12)
   }
 
+  test("distributed pointer-jump merge path matches the driver union-find") {
+    // mergeCollectThreshold = 0 forces the hash-to-min pointer-jump
+    // closure (the >threshold scale path) on a long weighted path —
+    // the pick graph is then a deep chain, the closure's worst case.
+    val edges = (0L until 64L).flatMap { i =>
+      val w = ((i * 37) % 61 + 1).toDouble
+      Seq((i, i + 1, w), (i + 1, i, w))
+    }
+    val viaJump = Mst.forest(graphOf(edges),
+        Mst.Config(mergeCollectThreshold = 0L)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaJump == kruskal(edges))
+    assert(viaJump == gotForest(edges))
+  }
+
   test("maximum spanning forest = Kruskal on negated weights") {
     val edges = Seq(
       (0L, 1L, 4.0), (1L, 2L, 1.0), (2L, 0L, 3.0), (2L, 3L, 2.0),
