@@ -1453,9 +1453,15 @@ object GraphQueries {
   }
 
   /** node2vec walks (p=2, q=0.5): cumulative-weight inversion with the
-   * md5 counter draw; weights are dyadic (0.5/1/2), so every window
-   * sum is exact in both engines and the `cum·10^6 > r·tot` compare is
-   * bit-identical to the Spark side. */
+   * md5 counter draw, candidates ordered by the engine's pinned
+   * (md5-bucket % 65536, nbr) total order (the hub-safe two-level
+   * scheme collapses to this single running sum). PRECONDITION shared
+   * with the engine: weights are DYADIC (0.5/1/2 here), so every
+   * running/bucket sum is exact in both engines, the
+   * `cum·10^6 > r·tot` compare is bit-identical, and the last-
+   * candidate fallback (mirrored below as `cum = tot` vs the engine's
+   * `cum = maxcum`) never changes the pick — a future non-dyadic
+   * weight column would need micro-rounded weights first. */
   private def node2vecSql(length: Int, seed: Long): String =
     s"""${recChain},
       |starts AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 10),
@@ -1470,7 +1476,9 @@ object GraphQueries {
       |      SELECT w.start, w.step + 1 AS step, w.cur AS prev, e.dst AS nbr,
       |        sum(CASE WHEN e.dst = w.prev THEN 0.5
       |                 WHEN e2.src IS NOT NULL THEN 1.0 ELSE 2.0 END)
-      |          OVER (PARTITION BY w.start ORDER BY e.dst) AS cum,
+      |          OVER (PARTITION BY w.start ORDER BY
+      |            ('0x' || substr(md5(e.dst || ''), 1, 8))::BIGINT % 65536,
+      |            e.dst) AS cum,
       |        sum(CASE WHEN e.dst = w.prev THEN 0.5
       |                 WHEN e2.src IS NOT NULL THEN 1.0 ELSE 2.0 END)
       |          OVER (PARTITION BY w.start) AS tot,
@@ -1481,15 +1489,17 @@ object GraphQueries {
       |      LEFT JOIN edges e2 ON e2.src = w.prev AND e2.dst = e.dst
       |      WHERE w.step < $length
       |    ) x
-      |    WHERE x.cum * 1000000 > x.r * x.tot
+      |    WHERE x.cum * 1000000 > x.r * x.tot OR x.cum = x.tot
       |    GROUP BY x.start, x.step, x.prev
       |  ) y
       |)
       |SELECT start, step, cur AS vertex FROM wk""".stripMargin
 
   /** Edge-weight-proportional walks over the weighted symmetrized
-   * chain graph; weights are integer-valued doubles (min l_quantity),
-   * so the running sums are exact in both engines. */
+   * chain graph, candidates in the engine's (md5-bucket % 65536, nbr)
+   * order. Same DYADIC-weight precondition as [[node2vecSql]]
+   * (weights here are integer-valued min-l_quantity doubles), same
+   * mirrored `cum = tot` last-candidate fallback. */
   private def biasedWalksSql(length: Int, seed: Long): String =
     s"""${recChain},
       |directed AS (
@@ -1510,14 +1520,16 @@ object GraphQueries {
       |      min(struct_pack(c := x.cum, v := x.nbr)) AS pk
       |    FROM (
       |      SELECT w.start, w.step + 1 AS step, e.dst AS nbr,
-      |        sum(e.w) OVER (PARTITION BY w.start ORDER BY e.dst) AS cum,
+      |        sum(e.w) OVER (PARTITION BY w.start ORDER BY
+      |          ('0x' || substr(md5(e.dst || ''), 1, 8))::BIGINT % 65536,
+      |          e.dst) AS cum,
       |        sum(e.w) OVER (PARTITION BY w.start) AS tot,
       |        ('0x' || substr(md5($seed || ':' || w.start || ':'
       |            || (w.step + 1)), 1, 8))::BIGINT % 1000000 AS r
       |      FROM wk w JOIN wedges e ON e.src = w.cur
       |      WHERE w.step < $length
       |    ) x
-      |    WHERE x.cum * 1000000 > x.r * x.tot
+      |    WHERE x.cum * 1000000 > x.r * x.tot OR x.cum = x.tot
       |    GROUP BY x.start, x.step
       |  ) y
       |)

@@ -81,6 +81,10 @@ object RefOraclesY {
     comp.toMap
   }
 
+  /** The engine's pinned candidate total order: (md5-bucket, id) —
+   * [[graft.algos.Node2Vec.NBuckets]] hash buckets ahead of the id. */
+  def walkOrder(n: Long): (Long, Long) = (md5u32(n.toString) % 65536L, n)
+
   /** node2vec walk via the cumulative-inversion scheme (engine mirror,
    * but sequential and array-based). */
   def node2vec(
@@ -91,7 +95,7 @@ object RefOraclesY {
       q: Double,
       seed: Long): Seq[(Long, Long, Long)] = {
     val adj = edges.groupBy(_._1)
-      .map { case (v, es) => v -> es.map(_._2).toSeq.sorted }
+      .map { case (v, es) => v -> es.map(_._2).toSeq.sortBy(walkOrder) }
     starts.flatMap { s0 =>
       val rows = scala.collection.mutable.ArrayBuffer((s0, 0L, s0))
       var prev = s0
@@ -282,15 +286,47 @@ class SamplingYSpec extends SparkSpec {
     val g = graphOf(edges)
     val out = Node2Vec.biased(g, Seq(0L).toDF("id"), length = 3, seed = 7L)
       .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
-    // host mirror
-    val adj = Map(0L -> Seq((1L, 1.0), (2L, 3.0)), 1L -> Seq((0L, 1.0)),
-      2L -> Seq((0L, 3.0)))
+    // host mirror (candidates in the engine's (bucket, id) order)
+    val adj = Map(
+      0L -> Seq((1L, 1.0), (2L, 3.0))
+        .sortBy(c => RefOraclesY.walkOrder(c._1)),
+      1L -> Seq((0L, 1.0)), 2L -> Seq((0L, 3.0)))
     var cur = 0L
     val want = scala.collection.mutable.Map(0L -> 0L)
     for (step <- 1 to 3) {
       val nbrs = adj(cur)
       val tot = nbrs.map(_._2).sum
       val r = RefOraclesY.md5u32(s"7:0:$step") % 1000000L
+      var cum = 0.0
+      var pick = -1L
+      for ((n, w) <- nbrs if pick < 0) {
+        cum += w; if (cum * 1000000.0 > r * tot) pick = n
+      }
+      cur = pick; want(step.toLong) = cur
+    }
+    assert(out == want.toMap)
+  }
+
+  test("biased walk on a 5000-spoke hub matches the host mirror") {
+    // Exercises the two-level bucket path with a genuinely multi-
+    // bucket adjacency (5000 spokes spread over the 65536 buckets):
+    // the bucket pick + offset re-association must reproduce the
+    // single-running-sum host mirror exactly (dyadic weights).
+    val spokes = (1L to 5000L).map(s => (0L, s, (s % 7 + 1).toDouble))
+    val edges = spokes ++ spokes.map { case (c, s, w) => (s, c, w) }
+    val g = graphOf(edges)
+    val out = Node2Vec.biased(g, Seq(0L).toDF("id"), length = 2, seed = 11L)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    // host mirror in the engine's (bucket, id) candidate order
+    val adj = edges.groupBy(_._1).view
+      .mapValues(_.map(e => (e._2, e._3))
+        .sortBy(c => RefOraclesY.walkOrder(c._1))).toMap
+    var cur = 0L
+    val want = scala.collection.mutable.Map(0L -> 0L)
+    for (step <- 1 to 2) {
+      val nbrs = adj(cur)
+      val tot = nbrs.map(_._2).sum
+      val r = RefOraclesY.md5u32(s"11:0:$step") % 1000000L
       var cum = 0.0
       var pick = -1L
       for ((n, w) <- nbrs if pick < 0) {

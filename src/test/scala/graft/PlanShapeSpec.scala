@@ -92,6 +92,33 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("walk selection windows ride bucketed frames only") {
+    // The two-level inversion bounds every window partition by
+    // max(NBuckets, degree/NBuckets) rows; the pin is that EVERY
+    // WindowExec in the selection plan reads a frame carrying the
+    // bucket column (level 1: the per-bucket aggregate; level 2: the
+    // picked-bucket join) — a window over the RAW candidate frame (the
+    // round-3 implementation: one partition = a hub's whole adjacency)
+    // has no `bkt` column and fails here.
+    import spark.implicits._
+    val weighted = Seq(
+      (0L, 0L, 0L, 1L, 1.0, 1.0), (0L, 0L, 0L, 2L, 3.0, 3.0),
+      (1L, 1L, 1L, 0L, 1.0, 1.0))
+      .toDF("start", "prev", "vertex", "nbr", "ew", "wt")
+    val picked = graft.algos.Node2Vec.selectNext(weighted, 1, 42L)
+    graft.core.SparkTuning.withoutAqe(spark) {
+      picked.count() // finalize executedPlan
+      val windows = picked.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, "no window in selection plan — changed?")
+      windows.foreach { w =>
+        assert(w.child.output.map(_.name).contains("bkt"),
+          s"unbucketed walk window:\n$w")
+      }
+    }
+  }
+
   test("core-number round body: one exchange for histogram+fold+update") {
     val g = cachedGraph()
     g.edges.count()
