@@ -527,6 +527,39 @@ object GraphQueries {
       CoreNumber.run(g, degreeType = CoreNumber.Out)
     }),
 
+    "q_core_number_in" -> ((s, dir) => {
+      // IN-degree core numbers of the directed pair graph (reference
+      // degree_type IN, algorithms.hpp:1581-1610) — closes the
+      // degree_type matrix: INOUT (q_core_number), OUT
+      // (q_core_number_out), IN here.
+      val g = memo(s, dir, "dchain") {
+        val de = chainPairs(s, dir)
+          .select(col("u").as(SRC), col("v").as(DST)).distinct()
+          .withColumn(WEIGHT, lit(1.0))
+        LinkGraph(de, directed = true,
+          s.sessionState.conf.numShufflePartitions)
+      }
+      CoreNumber.run(g, degreeType = CoreNumber.In)
+    }),
+
+    "q_spectral_metrics" -> ((s, dir) => {
+      // analyzeClustering_{modularity,edge_cut,ratio_cut} (reference
+      // algorithms.hpp:875-919) over the q_spectral Fiedler
+      // bipartition — one micro-rounded row. All inputs are
+      // integer-valued (unit weights), so every sum is exact in both
+      // engines; only the final divisions float.
+      val g = chainGraph(s, dir)
+      val labels = Spectral.fiedlerCut(g,
+        Spectral.Config(iterations = 20, seed = 42L))
+      val m = Spectral.analyzeClustering(g, labels)
+      // half-away-from-zero micro rounding, matching DuckDB round()
+      def micro(x: Double): Long =
+        if (x >= 0) math.round(x * 1e6) else -math.round(-x * 1e6)
+      import s.implicits._
+      Seq((micro(m.modularity), micro(m.edgeCut), micro(m.ratioCut)))
+        .toDF("modularity_micro", "edge_cut_micro", "ratio_cut_micro")
+    }),
+
     "q_degree_centrality" -> ((s, dir) => {
       // (in+out)/(n-1) over the directed pair graph — the reference's
       // degree_centrality (python/cugraph/cugraph/centrality/
@@ -1282,6 +1315,80 @@ object GraphQueries {
       |)
       |SELECT v AS id, CAST(c AS BIGINT) AS core_number
       |FROM cn WHERE iter = 30""".stripMargin,
+
+    // IN-core h-index iteration on the DIRECTED pair graph: a vertex
+    // reduces over its IN-neighbORS' values, so the delivery join runs
+    // edge-forward (owner = e.src, receiver = e.dst) and the init is
+    // the IN-degree; self-value rides the w=0 self-loop rows.
+    "q_core_number_in" -> s"""${recChain},
+      |dedges AS (SELECT DISTINCT u AS src, v AS dst FROM pairs),
+      |verts AS (SELECT DISTINCT v FROM (
+      |  SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges) t),
+      |ind AS (SELECT dst AS v, count(*) AS d FROM dedges GROUP BY dst),
+      |eplus AS (
+      |  SELECT src AS owner, dst AS receiver, 1 AS w FROM dedges
+      |  UNION ALL SELECT v, v, 0 FROM verts
+      |),
+      |cn(iter, v, c) AS (
+      |  SELECT 0, verts.v, coalesce(d.d, 0)
+      |  FROM verts LEFT JOIN ind d ON verts.v = d.v
+      |  UNION ALL
+      |  SELECT iter + 1, v, least(cur, coalesce(h, cur))
+      |  FROM (
+      |    SELECT max(x.iter) AS iter, x.receiver AS v,
+      |      max(CASE WHEN x.w = 0 THEN x.c END) AS cur,
+      |      max(CASE WHEN x.w > 0 THEN least(x.c, x.r) END) AS h
+      |    FROM (
+      |      SELECT t.iter AS iter, e.receiver AS receiver, t.c AS c,
+      |        e.w AS w,
+      |        CAST(row_number() OVER (
+      |          PARTITION BY e.receiver, (e.w > 0) ORDER BY t.c DESC)
+      |          AS BIGINT) AS r
+      |      FROM cn t JOIN eplus e ON t.v = e.owner
+      |      WHERE t.iter < 30
+      |    ) x
+      |    GROUP BY x.receiver
+      |  ) y
+      |)
+      |SELECT v AS id, CAST(c AS BIGINT) AS core_number
+      |FROM cn WHERE iter = 30""".stripMargin,
+
+    // Clustering quality metrics of the q_spectral labels, mirroring
+    // Spectral.analyzeClustering exactly: edge cut = inter-cluster
+    // weight / 2 (symmetric table), ratio cut = sum_c cut(c)/|c|,
+    // modularity = internal/W - sum_c (sum of degrees in c)^2 / W^2.
+    // Unit weights make every sum exact; micro rounding absorbs the
+    // division ulps.
+    "q_spectral_metrics" -> s"""${recChain},
+      |${spectralChain("", "edges", 20, 42L)},
+      |cut AS (SELECT v, CASE WHEN x > 0 THEN 1 ELSE 0 END AS cluster
+      |        FROM it WHERE iter = 20),
+      |ann AS (
+      |  SELECT e.src, e.dst, a.cluster AS ls, b.cluster AS ld
+      |  FROM edges e JOIN cut a ON a.v = e.src JOIN cut b ON b.v = e.dst),
+      |tw AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM edges),
+      |internal AS (SELECT CAST(count(*) AS DOUBLE) AS w FROM ann
+      |             WHERE ls = ld),
+      |ecut AS (SELECT CAST(count(*) AS DOUBLE) / 2.0 AS w FROM ann
+      |         WHERE ls <> ld),
+      |csum AS (
+      |  SELECT c.cluster, CAST(count(*) AS DOUBLE) AS n,
+      |    CAST(sum(d.d) AS DOUBLE) AS kk
+      |  FROM cut c JOIN deg d ON d.v = c.v
+      |  GROUP BY c.cluster),
+      |ccut AS (
+      |  SELECT ls AS cluster, CAST(count(*) AS DOUBLE) AS cut
+      |  FROM ann WHERE ls <> ld GROUP BY ls)
+      |SELECT
+      |  CAST(round(((SELECT w FROM internal) / (SELECT w FROM tw)
+      |    - (SELECT sum(kk * kk) FROM csum)
+      |      / ((SELECT w FROM tw) * (SELECT w FROM tw))) * 1e6, 0)
+      |    AS BIGINT) AS modularity_micro,
+      |  CAST(round((SELECT w FROM ecut) * 1e6, 0) AS BIGINT)
+      |    AS edge_cut_micro,
+      |  CAST(round((SELECT sum(coalesce(cc.cut, 0) / s.n)
+      |    FROM csum s LEFT JOIN ccut cc ON cc.cluster = s.cluster) * 1e6, 0)
+      |    AS BIGINT) AS ratio_cut_micro""".stripMargin,
 
     "q_graph_stats" -> """WITH raw AS (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
