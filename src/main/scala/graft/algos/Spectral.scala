@@ -104,6 +104,110 @@ object Spectral {
   }
 
   /**
+   * Spectral MODULARITY MAXIMIZATION bipartition (reference
+   * `spectralModularityMaximization`,
+   * `/root/reference/cpp/include/cugraph/algorithms.hpp:849-875`,
+   * legacy impl `cpp/src/community/legacy/spectral_clustering.cu`):
+   * split by the sign of the LEADING eigenvector of the modularity
+   * matrix B = W − k·kᵀ/2m (Newman 2006), instead of the Laplacian's
+   * Fiedler vector. Same deflated power iteration machinery as
+   * [[fiedlerCut]], shifted to σI + B (σ = 2·max weighted degree ≥
+   * ‖B‖: ‖W‖ ≤ max d and ‖k·kᵀ‖/2m = Σd²/2m ≤ max d):
+   *
+   *   y(v) = σ·x(v) + Σ_u w(v,u)·x(u) − d(v)·(S/W),  S = Σ_u d(u)·x(u)
+   *   x'   = (y − mean(y)) / ‖y − mean(y)‖₂
+   *
+   * — one superstep join + message reduce plus TWO scalar passes (S
+   * on the current vector, then mean/norm on y); the centering
+   * deflates the constant vector (a B-eigenvector with eigenvalue 0),
+   * so the iteration converges to B's leading non-trivial eigenvector.
+   * Same determinism/oracle-parity contract as [[fiedlerCut]].
+   *
+   * Returns (id, mod_micro, cluster ∈ {0, 1}).
+   */
+  def modularityCut(g0: LinkGraph, cfg: Config = Config()): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark)(runModImpl(g0, cfg))
+
+  private def runModImpl(g0: LinkGraph, cfg: Config): DataFrame = {
+    val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+    val g = if (callerCached) g0 else g0.cached()
+    val p = g.numPartitions
+    val edges = g.edges
+
+    val deg = Lineage.materialize(
+      edges.groupBy(col(SRC).as(ID)).agg(sum(WEIGHT).as("d"))
+        .repartition(p, col(ID)),
+      eager = false)
+    val dstats = deg.df.agg(max("d"), sum("d")).head()
+    val sigma = 2.0 * dstats.getDouble(0)
+    val totalW = dstats.getDouble(1) // = 2m on the symmetric table
+
+    val h01 = pmod(conv(substring(
+      md5(concat_ws(":", lit(cfg.seed), col(ID))), 1, 8), 16, 10)
+      .cast("long"), lit(1000000L)) / 1000000.0
+    var x = Lineage.materialize(
+      deg.df.select(col(ID), col("d"), (h01 - 0.5).as("x")), eager = false)
+
+    for (_ <- 1 to cfg.iterations) {
+      // S = k·x on the CURRENT vector (one scalar pass on cached x).
+      val s = x.df.agg(sum(col("d") * col("x"))).head().getDouble(0)
+      val msgs = edges
+        .join(x.df.select(col(ID), col("x")).hint("shuffle_hash"),
+          edges(SRC) === col(ID))
+        .select(col(DST), (col(WEIGHT) * col("x")).as("m"))
+        .groupBy(DST).agg(sum("m").as("m"))
+      val y = x.df.join(msgs.hint("shuffle_hash"),
+          x.df(ID) === msgs(DST), "left")
+        .select(x.df(ID), x.df("d"),
+          (lit(sigma) * col("x") - col("d") * lit(s / totalW)
+            + coalesce(col("m"), lit(0.0))).as("y"))
+      val yH = Lineage.materialize(y, eager = false)
+      val stats = yH.df
+        .agg(avg("y"), count(lit(1)), sum(col("y") * col("y"))).head()
+      val mu = stats.getDouble(0)
+      val norm = math.sqrt(stats.getDouble(2) - stats.getLong(1) * mu * mu)
+      val next = Lineage.materialize(
+        yH.df.select(col(ID), col("d"),
+          ((col("y") - mu) / norm).as("x")),
+        eager = false)
+      next.df.count() // materialize before releasing parents
+      yH.release()
+      x.release()
+      x = next
+    }
+
+    val out = Lineage.materialize(
+      x.df.select(col(ID),
+        round(col("x") * 1e6, 0).cast("long").as("mod_micro"),
+        when(col("x") > 0, 1L).otherwise(0L).as("cluster")))
+    x.release()
+    deg.release()
+    if (!callerCached) g.unpersist()
+    out.df
+  }
+
+  /** k-way modularity maximization by recursive bisection on
+   * [[modularityCut]] — the same range-assignment recursion
+   * [[balancedCut]] uses (the reference's n_clusters > 2 path runs
+   * k eigenpairs + kmeans on device; recursive sign splits are the
+   * superstep-shaped analog). Returns (id, cluster ∈ [0, k)). */
+  def modularityMaximization(
+      g0: LinkGraph, k: Int, cfg: Config = Config()): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    graft.core.SparkTuning.withoutAqe(g0.spark) {
+      val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+      val g = if (callerCached) g0 else g0.cached()
+      val pinned = scala.collection.mutable.ArrayBuffer[LinkGraph]()
+      val out = Lineage.materialize(
+        clusterRec(g, g.vertices, k, 0L, cfg, pinned,
+          (sg, c) => modularityCut(sg, c)))
+      pinned.foreach(_.unpersist())
+      if (!callerCached) g.unpersist()
+      out.df
+    }
+  }
+
+  /**
    * k-way balanced cut by RECURSIVE FIEDLER BISECTION (reference
    * `spectralBalancedCutClustering` for arbitrary n_clusters,
    * `/root/reference/cpp/include/cugraph/algorithms.hpp:818-849`;
@@ -126,7 +230,8 @@ object Spectral {
       // labels are lazy views over them), then be dropped together.
       val pinned = scala.collection.mutable.ArrayBuffer[LinkGraph]()
       val out = Lineage.materialize(
-        clusterRec(g, g.vertices, k, 0L, cfg, pinned))
+        clusterRec(g, g.vertices, k, 0L, cfg, pinned,
+          (sg, c) => fiedlerCut(sg, c)))
       pinned.foreach(_.unpersist())
       if (!callerCached) g.unpersist()
       out.df
@@ -139,10 +244,11 @@ object Spectral {
       k: Int,
       base: Long,
       cfg: Config,
-      pinned: scala.collection.mutable.ArrayBuffer[LinkGraph]): DataFrame = {
+      pinned: scala.collection.mutable.ArrayBuffer[LinkGraph],
+      cutFn: (LinkGraph, Config) => DataFrame): DataFrame = {
     if (k == 1 || g.edges.isEmpty)
       return verts.select(col(ID), lit(base).as("cluster"))
-    val cut = fiedlerCut(g, cfg)
+    val cut = cutFn(g, cfg)
     // Vertices absent from the cut (isolated within this subgraph)
     // deterministically join the low side.
     val sides = verts
@@ -159,9 +265,10 @@ object Spectral {
       pinned += s
       s
     }
-    val low = clusterRec(sub(lowVerts), lowVerts, kLow, base, cfg, pinned)
+    val low = clusterRec(sub(lowVerts), lowVerts, kLow, base, cfg, pinned,
+      cutFn)
     val high = clusterRec(sub(highVerts), highVerts, kHigh, base + kLow,
-      cfg, pinned)
+      cfg, pinned, cutFn)
     low.union(high)
   }
 

@@ -498,6 +498,14 @@ object GraphQueries {
       Spectral.fiedlerCut(chainGraph(s, dir),
         Spectral.Config(iterations = 20, seed = 42L))),
 
+    "q_spectral_mod" -> ((s, dir) =>
+      // Modularity-matrix bipartition (reference
+      // spectralModularityMaximization, algorithms.hpp:849-875) —
+      // leading eigenvector of B = W - k·kᵀ/2m by the same fixed-20-
+      // iteration deflated power scheme.
+      Spectral.modularityCut(chainGraph(s, dir),
+        Spectral.Config(iterations = 20, seed = 42L))),
+
     "q_ecg" -> ((s, dir) =>
       // ECG ensemble votes per canonical edge (3 one-level members,
       // md5 relabeling, fixed 3 inner iterations — SQL-reproducible;
@@ -1147,6 +1155,17 @@ object GraphQueries {
       |LEFT JOIN cutlo cl ON cl.v = s.v
       |LEFT JOIN cuthi ch ON ch.v = s.v""".stripMargin,
 
+    // Power iteration on sigma*I + B (modularity matrix): the self
+    // rows carry sigma*x - d*(S/W), with S = sum(d*x) computed as a
+    // full-frame window over the self rows (each vertex exactly once)
+    // — mirroring Spectral.modularityCut's two scalar passes.
+    "q_spectral_mod" -> s"""${recChain},
+      |${modularityChain("", "edges", 20, 42L)}
+      |SELECT v AS id,
+      |  CAST(round(x * 1e6, 0) AS BIGINT) AS mod_micro,
+      |  CAST(CASE WHEN x > 0 THEN 1 ELSE 0 END AS BIGINT) AS cluster
+      |FROM it WHERE iter = 20""".stripMargin,
+
     "q_node2vec" -> node2vecSql(length = 4, seed = 42L),
     "q_biased_walks" -> biasedWalksSql(length = 4, seed = 42L),
 
@@ -1525,6 +1544,56 @@ object GraphQueries {
       |      JOIN deg$sfx dd ON dd.v = e.dst
       |      WHERE t.iter < $iters
       |      GROUP BY e.dst
+      |    ) raw
+      |  ) centered
+      |)""".stripMargin
+  }
+
+  /** Deflated power iteration on σI + B (B = W − k·kᵀ/2m, the
+   * modularity matrix) over unweighted `edgesRel`, structured like
+   * [[spectralChain]]: self-loop rows carry the σ·x − d·(S/W) term,
+   * where S = Σ d·x rides a full-frame window over the self rows
+   * (each vertex appears exactly once there) and W = Σ degrees.
+   * Arithmetic mirrors [[graft.algos.Spectral.modularityCut]] —
+   * same σ, same d·(S/W) association, same centered-norm algebra. */
+  private def modularityChain(
+      sfx: String, edgesRel: String, iters: Int, seed: Long): String = {
+    s"""verts$sfx AS (SELECT DISTINCT src AS v FROM $edgesRel),
+      |deg$sfx AS (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d
+      |        FROM $edgesRel GROUP BY src),
+      |sg$sfx AS (SELECT 2.0 * max(d) AS s, sum(d) AS w FROM deg$sfx),
+      |eplus$sfx AS (
+      |  SELECT src, dst, 1.0 AS w FROM $edgesRel
+      |  UNION ALL SELECT v, v, 0.0 FROM verts$sfx
+      |),
+      |it$sfx(iter, v, x) AS (
+      |  SELECT 0, d.v,
+      |    CAST(('0x' || substr(md5($seed || ':' || d.v), 1, 8))::BIGINT
+      |         % 1000000 AS DOUBLE) / 1000000.0 - 0.5
+      |  FROM deg$sfx d
+      |  UNION ALL
+      |  SELECT iter, v,
+      |    (y - mu) / sqrt(sq - cnt * mu * mu)
+      |  FROM (
+      |    SELECT iter, v, y, avg(y) OVER () AS mu,
+      |      sum(y * y) OVER () AS sq,
+      |      CAST(count(*) OVER () AS DOUBLE) AS cnt
+      |    FROM (
+      |      SELECT max(z.iter) + 1 AS iter, z.dst AS v,
+      |        sum(CASE WHEN z.w > 0 THEN z.x * z.w
+      |                 ELSE (SELECT s FROM sg$sfx) * z.x
+      |                      - z.d * (z.sv / (SELECT w FROM sg$sfx)) END)
+      |          AS y
+      |      FROM (
+      |        SELECT t.iter AS iter, e.dst AS dst, t.x AS x, e.w AS w,
+      |          dd.d AS d,
+      |          sum(CASE WHEN e.w = 0 THEN t.x * dd.d END) OVER () AS sv
+      |        FROM it$sfx t
+      |        JOIN eplus$sfx e ON t.v = e.src
+      |        JOIN deg$sfx dd ON dd.v = e.dst
+      |        WHERE t.iter < $iters
+      |      ) z
+      |      GROUP BY z.dst
       |    ) raw
       |  ) centered
       |)""".stripMargin

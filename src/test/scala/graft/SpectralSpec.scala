@@ -78,6 +78,72 @@ class SpectralSpec extends SparkSpec {
     assert(again == k4)
   }
 
+  /** Host mirror of the modularity-matrix power iteration
+   * (σI + B, B = W − k·kᵀ/2m). */
+  private def hostModularity(
+      edges: Seq[(Long, Long, Double)],
+      iterations: Int,
+      seed: Long): Map[Long, Double] = {
+    val verts = edges.map(_._1).distinct.sorted
+    val deg = edges.groupBy(_._1).map { case (v, es) => v -> es.map(_._3).sum }
+    val sigma = 2.0 * deg.values.max
+    val w = deg.values.sum
+    var x = verts.map { v =>
+      v -> (RefOraclesY.md5u32(s"$seed:$v") % 1000000L / 1000000.0 - 0.5)
+    }.toMap
+    for (_ <- 1 to iterations) {
+      val s = verts.map(v => deg(v) * x(v)).sum
+      val msg = scala.collection.mutable.Map[Long, Double]()
+        .withDefaultValue(0.0)
+      edges.foreach { case (u, v, ew) => msg(v) += ew * x(u) }
+      val y = verts.map(v =>
+        v -> (sigma * x(v) - deg(v) * (s / w) + msg(v))).toMap
+      val mu = y.values.sum / verts.size
+      val norm = math.sqrt(y.values.map(c => (c - mu) * (c - mu)).sum)
+      x = y.map { case (v, c) => v -> (c - mu) / norm }
+    }
+    x
+  }
+
+  test("modularity cut on karate matches host power iteration and " +
+      "beats the balanced cut's modularity") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val got = Spectral.modularityCut(g, Spectral.Config(iterations = 20))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = hostModularity(edges, 20, 42L)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (v, (micro, cluster)) =>
+      assert(math.abs(micro - math.round(want(v) * 1e6)) <= 1,
+        s"vertex $v micro $micro vs host ${want(v)}")
+      if (math.abs(want(v)) > 1e-3)
+        assert(cluster == (if (want(v) > 0) 1L else 0L), s"vertex $v side")
+    }
+    // The modularity objective must not lose to the balanced-cut
+    // objective on its own metric (karate's two factions are the
+    // canonical modularity fixture).
+    import org.apache.spark.sql.functions.col
+    val qMod = Spectral.analyzeClustering(g,
+      Spectral.modularityCut(g).select(col("id"), col("cluster"))).modularity
+    val qCut = Spectral.analyzeClustering(g,
+      Spectral.fiedlerCut(g).select(col("id"), col("cluster"))).modularity
+    assert(qMod >= qCut, s"modularity objective $qMod < balanced cut $qCut")
+    assert(qMod > 0.3, s"karate bipartition modularity $qMod suspiciously low")
+  }
+
+  test("modularity maximization k=4 assigns the full range deterministically") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val k4 = Spectral.modularityMaximization(g, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(k4.keySet == edges.map(_._1).distinct.toSet)
+    assert(k4.values.forall(c => c >= 0 && c < 4))
+    assert(k4.values.toSet.size >= 3, s"degenerate: ${k4.values.toSet}")
+    val again = Spectral.modularityMaximization(g, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == k4)
+  }
+
   test("analyzeClustering metrics match a host recomputation") {
     val edges = loadFixture("karate")
     val g = graphOf(edges)
