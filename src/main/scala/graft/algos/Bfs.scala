@@ -61,11 +61,16 @@ object Bfs {
     val edges = g.edges.select(SRC, DST)
 
     // Vertex universe, needed only on the pull side (unvisited
-    // residue). Lazy: a push-only run never pays for it.
-    lazy val allVerts = Lineage.materialize(
-      g.vertices.repartition(p, col(ID)), eager = false)
+    // residue). Lazy: a push-only run never pays for it — and the
+    // release at the end is gated on allVertsInit so a run that never
+    // forced the lazy val (maxDepth = 0, immediately-empty frontier)
+    // doesn't materialize the frame solely to release it.
+    var allVertsInit = false
+    lazy val allVerts = {
+      allVertsInit = true
+      Lineage.materialize(g.vertices.repartition(p, col(ID)), eager = false)
+    }
     lazy val nVerts = allVerts.df.count()
-    var touchedAllVerts = false
 
     // Resume from the latest committed level: the frontier is exactly
     // the rows at the checkpoint's max distance.
@@ -102,7 +107,6 @@ object Bfs {
       }
       val expanded =
         if (doPull) {
-          touchedAllVerts = true
           val unvisited = allVerts.df
             .join(visited.df.select(ID), Seq(ID), "left_anti")
           edges
@@ -149,7 +153,7 @@ object Bfs {
 
     val out = Lineage.materialize(visited.df)
     levels.foreach(_.release())
-    if (touchedAllVerts || cfg.pull.isEmpty) allVerts.release()
+    if (allVertsInit) allVerts.release()
     if (!callerCached) g.unpersist()
     out.df
   }

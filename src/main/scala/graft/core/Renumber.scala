@@ -45,4 +45,56 @@ object Renumber {
   /** Reverse translation: attach urls to a per-vertex result frame. */
   def decode(result: DataFrame, urlMap: DataFrame): DataFrame =
     result.join(urlMap.select(col(ID), col("url")), Seq(ID))
+
+  // ------------------------------------------------------------------
+  // Multi-column external keys — the reference's NumberMap accepts
+  // composite vertex identifiers (e.g. (host, path)) and renumbers the
+  // tuple (`/root/reference/python/cugraph/cugraph/structure/number_map.py:327-500`).
+  // `srcCols`/`dstCols` pair positionally; the map carries the key
+  // under the SRC-side names plus (id, degree). Ids are dense 0..V-1,
+  // degree-descending, ties broken by the key columns ascending (a
+  // total order, so the assignment is deterministic).
+  // ------------------------------------------------------------------
+
+  /** (srcCols…, id, degree) map from a composite-key edge table. */
+  def buildMapMulti(
+      edgeKeys: DataFrame,
+      srcCols: Seq[String],
+      dstCols: Seq[String],
+      numPartitions: Int): DataFrame = {
+    require(srcCols.nonEmpty && srcCols.length == dstCols.length,
+      s"src/dst key column lists must pair up, got $srcCols vs $dstCols")
+    val occ = edgeKeys.select(srcCols.map(col): _*)
+      .unionByName(edgeKeys.select(
+        dstCols.zip(srcCols).map { case (d, s) => col(d).as(s) }: _*))
+    val deg = occ.groupBy(srcCols.map(col): _*)
+      .agg(count(lit(1)).as("degree"))
+    DenseRank.assign(deg,
+      col("degree").desc +: srcCols.map(col(_).asc), numPartitions)
+  }
+
+  /** Translate a composite-key edge table through the map →
+   * (src, dst, weight). */
+  def encodeMulti(
+      edgeKeys: DataFrame,
+      keyMap: DataFrame,
+      srcCols: Seq[String],
+      dstCols: Seq[String],
+      weight: Double = 1.0): DataFrame = {
+    val mSrc = keyMap.select(
+      srcCols.map(col) :+ col(ID).as(SRC): _*)
+    val mDst = keyMap.select(
+      srcCols.zip(dstCols).map { case (s, d) => col(s).as(d) } :+
+        col(ID).as(DST): _*)
+    edgeKeys
+      .join(mSrc, srcCols)
+      .join(mDst, dstCols)
+      .select(col(SRC), col(DST), lit(weight).as(WEIGHT))
+  }
+
+  /** Reverse translation: attach the composite key columns to a
+   * per-vertex result frame. */
+  def decodeMulti(
+      result: DataFrame, keyMap: DataFrame, keyCols: Seq[String]): DataFrame =
+    result.join(keyMap.select(col(ID) +: keyCols.map(col): _*), Seq(ID))
 }

@@ -131,6 +131,49 @@ class WebGraphPipelineSpec extends SparkSpec {
     case _ => ()
     }
   }
+
+  test("multi-column renumber round-trips a (host, path) composite key") {
+    // The reference's NumberMap takes multi-column external ids;
+    // buildMapMulti must assign dense degree-descending ids over the
+    // key TUPLE and encode/decode must round-trip the edge list.
+    val s = spark
+    import s.implicits._
+    val edges = Seq(
+      ("a.com", "/x", "b.com", "/y"),
+      ("a.com", "/x", "b.com", "/z"),
+      ("b.com", "/y", "a.com", "/x"),
+      ("c.com", "/x", "a.com", "/x"), // same path, different host
+      ("b.com", "/z", "c.com", "/x"))
+      .toDF("sh", "sp", "dh", "dp")
+    val m = graft.core.Renumber.buildMapMulti(
+      edges, Seq("sh", "sp"), Seq("dh", "dp"), numPartitions = 4)
+    val rows = m.collect().map(r => ((r.getAs[String]("sh"),
+      r.getAs[String]("sp")), r.getAs[Long]("degree"), r.getAs[Long]("id")))
+    assert(rows.length == 4) // 4 distinct (host, path) tuples
+    assert(rows.map(_._3).sorted.toSeq == (0L until 4L).toSeq)
+    // ("a.com","/x") occurs 4 times (2 as src, 2 as dst) -> id 0
+    assert(rows.find(_._1 == ("a.com", "/x")).get._3 == 0L)
+    rows.sortBy(_._3).sliding(2).foreach {
+      case Array((k1, d1, _), (k2, d2, _)) =>
+        assert(d1 > d2 || (d1 == d2 &&
+          (k1._1 < k2._1 || (k1._1 == k2._1 && k1._2 < k2._2))))
+      case _ => ()
+    }
+    val enc = graft.core.Renumber.encodeMulti(
+      edges, m, Seq("sh", "sp"), Seq("dh", "dp"))
+    assert(enc.count() == 5)
+    // decode both endpoints back and compare to the input tuples
+    val dec = graft.core.Renumber.decodeMulti(
+        enc.select($"src".as("id"), $"dst"), m, Seq("sh", "sp"))
+      .select($"sh".as("s_h"), $"sp".as("s_p"), $"dst".as("id"))
+    val full = graft.core.Renumber.decodeMulti(dec, m, Seq("sh", "sp"))
+      .select("s_h", "s_p", "sh", "sp").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    val want = edges.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet
+    assert(full == want)
+  }
 }
 
 class ResumeSpec extends SparkSpec {
