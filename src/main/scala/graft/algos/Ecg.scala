@@ -85,25 +85,46 @@ object Ecg {
     val p = g.numPartitions
     val edges = g.edges
 
-    // Ensemble memberships, one (id, community) frame per run.
-    val members = (1 to cfg.ensembleSize).map { r =>
-      val h = perm(cfg.seed, r) _
-      val pEdges = edges.select(
-        h(col(SRC)).as(SRC), h(col(DST)).as(DST), col(WEIGHT))
-      val pg = LinkGraph(pEdges, directed = false, p).cached()
-      val lab = Louvain.run(pg,
-        Louvain.Config(maxLevels = 1, fixedInnerIter = cfg.innerIter))
-      // map back: pid -> id via the same hash on the original vertices
-      // (EAGER, so pg can be dropped right after)
-      val back = Lineage.materialize(
-        edges.select(col(SRC).as(ID)).distinct()
-          .select(col(ID), h(col(ID)).as("pid"))
-          .join(lab.labels.select(col(ID).as("pid"), col("community")),
-            Seq("pid"))
-          .select(col(ID), col("community").as(s"c$r"))
-          .repartition(p, col(ID)))
-      pg.unpersist()
-      back
+    // Ensemble memberships, one (id, community) frame per run. The k
+    // members are INDEPENDENT (separate relabelings, separate caches,
+    // no shared state — each is a pure function of its seed), so they
+    // run CONCURRENTLY from k driver threads: every member is
+    // superstep-latency-bound (small stages + driver round trips), and
+    // overlapping them fills the idle executor slots a single member
+    // leaves — same result rows, ~2x less wall-clock at sf0.1. One
+    // OUTER withoutAqe scope covers all members, so the members' own
+    // nested scopes observe (and restore) "false" — a member finishing
+    // first cannot re-enable AQE under a still-running sibling.
+    val members = graft.core.SparkTuning.withoutAqe(g.spark) {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        cfg.ensembleSize)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val futs = (1 to cfg.ensembleSize).map { r =>
+          scala.concurrent.Future {
+            val h = perm(cfg.seed, r) _
+            val pEdges = edges.select(
+              h(col(SRC)).as(SRC), h(col(DST)).as(DST), col(WEIGHT))
+            val pg = LinkGraph(pEdges, directed = false, p).cached()
+            val lab = Louvain.run(pg,
+              Louvain.Config(maxLevels = 1, fixedInnerIter = cfg.innerIter))
+            // map back: pid -> id via the same hash on the original
+            // vertices (EAGER, so pg can be dropped right after)
+            val back = Lineage.materialize(
+              edges.select(col(SRC).as(ID)).distinct()
+                .select(col(ID), h(col(ID)).as("pid"))
+                .join(lab.labels.select(col(ID).as("pid"), col("community")),
+                  Seq("pid"))
+                .select(col(ID), col("community").as(s"c$r"))
+                .repartition(p, col(ID)))
+            pg.unpersist()
+            back
+          }
+        }
+        futs.map(scala.concurrent.Await.result(_,
+          scala.concurrent.duration.Duration.Inf))
+      } finally pool.shutdown()
     }
 
     // Votes per canonical edge. Fold the per-run membership frames

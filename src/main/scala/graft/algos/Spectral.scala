@@ -262,14 +262,30 @@ object Spectral {
       val s = LinkGraph(
         LinkGraph.partitioned(g.inducedSubgraph(vs).edges, g.numPartitions),
         directed = false, g.numPartitions).cached()
-      pinned += s
+      pinned.synchronized { pinned += s }
       s
     }
-    val low = clusterRec(sub(lowVerts), lowVerts, kLow, base, cfg, pinned,
-      cutFn)
-    val high = clusterRec(sub(highVerts), highVerts, kHigh, base + kLow,
-      cfg, pinned, cutFn)
-    low.union(high)
+    // The two sides are independent power iterations over disjoint
+    // induced subgraphs — run them CONCURRENTLY (each is superstep-
+    // latency-bound; a cached pool bounds threads by the ≤ k leaves,
+    // and the enclosing withoutAqe scope makes the nested ones
+    // restore-safe). Deterministic: each side is a pure function of
+    // its own vertex set and seed.
+    val pool = java.util.concurrent.Executors.newCachedThreadPool()
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futLow = scala.concurrent.Future(
+        clusterRec(sub(lowVerts), lowVerts, kLow, base, cfg, pinned, cutFn))
+      val futHigh = scala.concurrent.Future(
+        clusterRec(sub(highVerts), highVerts, kHigh, base + kLow,
+          cfg, pinned, cutFn))
+      val low = scala.concurrent.Await.result(futLow,
+        scala.concurrent.duration.Duration.Inf)
+      val high = scala.concurrent.Await.result(futHigh,
+        scala.concurrent.duration.Duration.Inf)
+      low.union(high)
+    } finally pool.shutdown()
   }
 
   /** Clustering quality metrics, the reference's analyzeClustering_*
