@@ -40,8 +40,16 @@ object Spectral {
 
   final case class Config(iterations: Int = 20, seed: Long = 42L)
 
-  def fiedlerCut(g0: LinkGraph, cfg: Config = Config()): DataFrame =
-    graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+  private val debug = sys.env.contains("SPARK_GRAFT_SPECTRAL_DEBUG")
+
+  def fiedlerCut(g0: LinkGraph, cfg: Config = Config()): DataFrame = {
+    val t0 = System.nanoTime()
+    val out = graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
+    if (debug) println(f"[spectral] fiedlerCut " +
+      f"thread=${Thread.currentThread.getId}%d " +
+      f"sec=${(System.nanoTime() - t0) / 1e9}%.2f")
+    out
+  }
 
   private def runImpl(g0: LinkGraph, cfg: Config): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
@@ -60,44 +68,47 @@ object Spectral {
     val h01 = pmod(conv(substring(
       md5(concat_ws(":", lit(cfg.seed), col(ID))), 1, 8), 16, 10)
       .cast("long"), lit(1000000L)) / 1000000.0
-    var x = Lineage.materialize(
-      deg.df.select(col(ID), col("d"), (h01 - 0.5).as("x")), eager = false)
+    // ONE action per iteration: only the y frame is ever materialized
+    // (by its own stats pass); x stays a LAZY centered/normalized
+    // projection over the cached y — constant plan depth, partitioning
+    // preserved, and the explicit next.count() job the old loop paid
+    // per iteration disappears (2 → 1 jobs/iter, the dominant cost of
+    // the halved subproblems in the k-way recursion).
+    var x: DataFrame = deg.df.select(col(ID), col("d"), (h01 - 0.5).as("x"))
+    var yPrev: Option[Lineage.Handle] = None
 
     for (_ <- 1 to cfg.iterations) {
       val msgs = edges
-        .join(x.df.select(col(ID), col("x")).hint("shuffle_hash"),
+        .join(x.select(col(ID), col("x")).hint("shuffle_hash"),
           edges(SRC) === col(ID))
         .select(col(DST), (col(WEIGHT) * col("x")).as("m"))
         .groupBy(DST).agg(sum("m").as("m"))
-      val y = x.df.join(msgs.hint("shuffle_hash"),
-          x.df(ID) === msgs(DST), "left")
-        .select(x.df(ID), x.df("d"),
-          ((lit(sigma) - col("d")) * col("x")
+      val xq = x.as("xq")
+      val y = xq.join(msgs.hint("shuffle_hash"),
+          col(s"xq.$ID") === msgs(DST), "left")
+        .select(col(s"xq.$ID").as(ID), col(s"xq.d").as("d"),
+          ((lit(sigma) - col(s"xq.d")) * col(s"xq.x")
             + coalesce(col("m"), lit(0.0))).as("y"))
       val yH = Lineage.materialize(y, eager = false)
       // One scalar pass: mu and the centered norm via
       // ||y - mu||^2 = sum(y^2) - n*mu^2 (the oracle mirrors this
       // exact algebraic form, so both engines share the same float
-      // path up to sum-order noise absorbed by micro rounding).
+      // path up to sum-order noise absorbed by micro rounding). This
+      // agg is ALSO the job that materializes yH.
       val stats = yH.df
         .agg(avg("y"), count(lit(1)), sum(col("y") * col("y"))).head()
       val mu = stats.getDouble(0)
       val norm = math.sqrt(stats.getDouble(2) - stats.getLong(1) * mu * mu)
-      val next = Lineage.materialize(
-        yH.df.select(col(ID), col("d"),
-          ((col("y") - mu) / norm).as("x")),
-        eager = false)
-      next.df.count() // materialize before releasing parents
-      yH.release()
-      x.release()
-      x = next
+      x = yH.df.select(col(ID), col("d"), ((col("y") - mu) / norm).as("x"))
+      yPrev.foreach(_.release())
+      yPrev = Some(yH)
     }
 
     val out = Lineage.materialize(
-      x.df.select(col(ID),
+      x.select(col(ID),
         round(col("x") * 1e6, 0).cast("long").as("fiedler_micro"),
         when(col("x") > 0, 1L).otherwise(0L).as("cluster")))
-    x.release()
+    yPrev.foreach(_.release())
     deg.release()
     if (!callerCached) g.unpersist()
     out.df
@@ -145,42 +156,44 @@ object Spectral {
     val h01 = pmod(conv(substring(
       md5(concat_ws(":", lit(cfg.seed), col(ID))), 1, 8), 16, 10)
       .cast("long"), lit(1000000L)) / 1000000.0
-    var x = Lineage.materialize(
-      deg.df.select(col(ID), col("d"), (h01 - 0.5).as("x")), eager = false)
+    // Same lazy-x scheme as [[fiedlerCut]]: only y materializes (via
+    // the stats pass); x is a projection over the cached y. The S
+    // pass stays a separate scalar agg on x — computing it
+    // algebraically from the y stats would change the float path the
+    // SQL oracle mirrors. 2 jobs/iter (was 3).
+    var x: DataFrame = deg.df.select(col(ID), col("d"), (h01 - 0.5).as("x"))
+    var yPrev: Option[Lineage.Handle] = None
 
     for (_ <- 1 to cfg.iterations) {
-      // S = k·x on the CURRENT vector (one scalar pass on cached x).
-      val s = x.df.agg(sum(col("d") * col("x"))).head().getDouble(0)
+      // S = k·x on the CURRENT vector (one scalar pass; reads the
+      // cached y underneath the projection).
+      val s = x.agg(sum(col("d") * col("x"))).head().getDouble(0)
       val msgs = edges
-        .join(x.df.select(col(ID), col("x")).hint("shuffle_hash"),
+        .join(x.select(col(ID), col("x")).hint("shuffle_hash"),
           edges(SRC) === col(ID))
         .select(col(DST), (col(WEIGHT) * col("x")).as("m"))
         .groupBy(DST).agg(sum("m").as("m"))
-      val y = x.df.join(msgs.hint("shuffle_hash"),
-          x.df(ID) === msgs(DST), "left")
-        .select(x.df(ID), x.df("d"),
-          (lit(sigma) * col("x") - col("d") * lit(s / totalW)
+      val xq = x.as("xq")
+      val y = xq.join(msgs.hint("shuffle_hash"),
+          col(s"xq.$ID") === msgs(DST), "left")
+        .select(col(s"xq.$ID").as(ID), col(s"xq.d").as("d"),
+          (lit(sigma) * col(s"xq.x") - col(s"xq.d") * lit(s / totalW)
             + coalesce(col("m"), lit(0.0))).as("y"))
       val yH = Lineage.materialize(y, eager = false)
       val stats = yH.df
         .agg(avg("y"), count(lit(1)), sum(col("y") * col("y"))).head()
       val mu = stats.getDouble(0)
       val norm = math.sqrt(stats.getDouble(2) - stats.getLong(1) * mu * mu)
-      val next = Lineage.materialize(
-        yH.df.select(col(ID), col("d"),
-          ((col("y") - mu) / norm).as("x")),
-        eager = false)
-      next.df.count() // materialize before releasing parents
-      yH.release()
-      x.release()
-      x = next
+      x = yH.df.select(col(ID), col("d"), ((col("y") - mu) / norm).as("x"))
+      yPrev.foreach(_.release())
+      yPrev = Some(yH)
     }
 
     val out = Lineage.materialize(
-      x.df.select(col(ID),
+      x.select(col(ID),
         round(col("x") * 1e6, 0).cast("long").as("mod_micro"),
         when(col("x") > 0, 1L).otherwise(0L).as("cluster")))
-    x.release()
+    yPrev.foreach(_.release())
     deg.release()
     if (!callerCached) g.unpersist()
     out.df
