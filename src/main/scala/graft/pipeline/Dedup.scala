@@ -71,6 +71,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate GROUPS: min-label connected components over the
+   * MinHash-LSH candidate-pair graph — the step a real dedup pipeline
+   * runs after candidate generation, so A~B~C collapses to ONE keeper
+   * even when A and C never shared a band bucket (transitive closure).
+   * Returns (idCol, group_id) for EVERY document; docs with no
+   * candidate partner are their own group; group_id = min doc id in
+   * the group. Scale: the pair graph is sparse by construction (pairs
+   * ride band buckets, never all-pairs), and the closure is the
+   * engine's change-frontier min-label CC — O(component diameter)
+   * supersteps, and near-dup components are shallow (star-like around
+   * shared boilerplate). */
+  def nearDupGroups(
+      docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 16, bands: Int = 4, rowsPerBand: Int = 4,
+      shingleLen: Int = 8, stride: Int = 4): DataFrame = {
+    import graft.core.LinkGraph
+    import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
+    val p = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val pairs = lshCandidates(
+      minhashSignatures(docs, idCol, textCol, k, shingleLen, stride),
+      idCol, bands, rowsPerBand)
+    val sym = pairs.select(col("a").as(SRC), col("b").as(DST))
+      .union(pairs.select(col("b").as(SRC), col("a").as(DST)))
+      .withColumn(WEIGHT, lit(1.0))
+    val cc = graft.algos.ConnectedComponents
+      .run(LinkGraph(LinkGraph.partitioned(sym, p), directed = false, p))
+      .components
+    docs.select(col(idCol))
+      .join(cc.select(col(ID).as(idCol), col("component")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("component"), col(idCol)).as("group_id"))
+  }
+
   /** N-gram Jaccard similarity for given candidate pairs, over DISTINCT
    * char n-grams (stride 1). Returns (a, b, jac_micro). */
   def ngramJaccard(

@@ -57,6 +57,11 @@ object TextQueries {
         Dedup.minhashSignatures(docs(s, dir), "doc_id", "text"),
         "doc_id")),
 
+    "q_doc_dedup_groups" -> ((s, dir) =>
+      // Transitive near-dup grouping: CC over the LSH candidate-pair
+      // graph, canonical keeper = min doc id per group.
+      Dedup.nearDupGroups(docs(s, dir), "doc_id", "text")),
+
     "q_doc_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.ngramJaccard(d, "doc_id", "text", consecutivePairs(d))
@@ -168,6 +173,8 @@ object TextQueries {
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 8""".stripMargin,
 
     "q_doc_minhash_lsh" -> minhashLshSql,
+
+    "q_doc_dedup_groups" -> dedupGroupsSql,
 
     "q_doc_ngram_jaccard" ->
       """WITH pairs AS (
@@ -359,7 +366,9 @@ object TextQueries {
        |) v""".stripMargin
   }
 
-  private lazy val minhashLshSql: String = {
+  /** Shared CTE chain: shingles → MinHash signatures → LSH bands →
+   * distinct candidate pairs (cands). */
+  private lazy val minhashCandChain: String = {
     val mins = (0 until 16).map(k =>
       s"min(md5('$k:' || s)) AS h$k").mkString(",\n    ")
     val bandRows = (0 until 4).map { b =>
@@ -367,7 +376,7 @@ object TextQueries {
       if (b == 0) s"SELECT doc_id, 0 AS band, md5($cols) AS bkey FROM sig"
       else s"UNION ALL SELECT doc_id, $b, md5($cols) FROM sig"
     }.mkString("\n  ")
-    s"""WITH sh AS (
+    s"""sh AS (
        |  SELECT doc_id, substr(text, CAST(i AS INT), 8) AS s
        |  FROM documents,
        |    unnest(generate_series(1, greatest(length(text) - 7, 1), 4)) t(i)
@@ -379,9 +388,33 @@ object TextQueries {
        |),
        |bands AS (
        |  $bandRows
-       |)
-       |SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
-       |FROM bands a JOIN bands b
-       |  ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id""".stripMargin
+       |),
+       |cands AS (
+       |  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)""".stripMargin
   }
+
+  private lazy val minhashLshSql: String =
+    s"""WITH $minhashCandChain
+       |SELECT a, b FROM cands""".stripMargin
+
+  /** Min-label closure over the candidate-pair graph (the engine's CC
+   * canonical form: group = min doc id in the component); docs with no
+   * candidate partner keep their own id. */
+  private lazy val dedupGroupsSql: String =
+    s"""WITH RECURSIVE ${minhashCandChain.replace(
+          "cands AS (", "cands AS MATERIALIZED (")},
+       |sym AS MATERIALIZED (
+       |  SELECT a, b FROM cands UNION ALL SELECT b, a FROM cands
+       |),
+       |cc(v, lbl) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT s.b, cc.lbl FROM cc JOIN sym s ON cc.v = s.a
+       |  WHERE cc.lbl < s.b
+       |)
+       |SELECT v AS doc_id, min(lbl) AS group_id FROM cc GROUP BY v"""
+      .stripMargin
 }

@@ -34,6 +34,22 @@ class DedupSpec extends SparkSpec {
       "unrelated doc must not pair")
   }
 
+  test("near-dup groups are the transitive closure of LSH candidates") {
+    val got = Dedup.nearDupGroups(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every doc gets a group; the unrelated doc is its own group
+    assert(got.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    assert(got(3L) == 3L)
+    // the near-identical family collapses to min id 0 — including any
+    // member that only reaches 0 THROUGH another member (closure)
+    val pairs = Dedup.lshCandidates(
+        Dedup.minhashSignatures(docs, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val family = Set(0L, 1L) ++
+      Set(2L, 4L).filter(d => pairs.exists(p => p._1 == d || p._2 == d))
+    family.foreach(d => assert(got(d) == 0L, s"doc $d group ${got(d)}"))
+  }
+
   test("ngram jaccard: identical=1e6, disjoint=0") {
     val s = spark
     import s.implicits._
