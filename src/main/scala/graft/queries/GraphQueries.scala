@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, Hits, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -619,6 +619,32 @@ object GraphQueries {
       val trav = Bfs.run(g, Seq(root))
       val dests = trav.select(col(ID)).orderBy(col(ID).desc).limit(3)
       ExtractPaths.fromPredecessors(trav, dests)
+    }),
+
+    "q_hungarian" -> ((s, dir) => {
+      // Min-cost bipartite assignment (reference hungarian,
+      // algorithms.hpp:510-543) on a deterministic 8x8 instance: the 8
+      // smallest part keys are workers, the 8 smallest supplier keys
+      // jobs, cost a quadratic mixing hash with a UNIQUE optimum so
+      // the oracle's DP recovers the identical assignment. The 8x8
+      // crossJoin is bounded fixture construction, not an engine scan.
+      val workers = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").cast("long").as("w"))
+        .orderBy("w").limit(8)
+      val jobs = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("j"))
+        .orderBy("j").limit(8)
+      val costs = workers.crossJoin(jobs)
+        .select(col("w"), col("j"),
+          (pmod(col("w") * col("w") * 577 + col("j") * col("j") * 331 +
+            col("w") * col("j") * 7919, lit(9973L)) + 1)
+            .cast("double").as("cost"))
+      val r = Hungarian.assign(costs)
+      r.assignments.withColumn("edge_cost",
+        (pmod(col("vertex") * col("vertex") * 577 +
+          col("assignment") * col("assignment") * 331 +
+          col("vertex") * col("assignment") * 7919, lit(9973L)) + 1)
+          .cast("long"))
     }),
 
     "q_graph_stats" -> ((s, dir) => {
@@ -1408,6 +1434,45 @@ object GraphQueries {
       |  CAST(round((SELECT sum(coalesce(cc.cut, 0) / s.n)
       |    FROM csum s LEFT JOIN ccut cc ON cc.cluster = s.cluster) * 1e6, 0)
       |    AS BIGINT) AS ratio_cut_micro""".stripMargin,
+
+    // Exact DP over job subsets (Held–Karp style; 8 workers -> ~1e5
+    // permutation prefixes) recovering the assignment via the list
+    // carried per dp row; the quadratic-hash cost matrix has a unique
+    // optimum (checked at fixture design time), so the argmin list is
+    // well-defined and must equal the auction engine's assignment.
+    "q_hungarian" -> """WITH RECURSIVE workers AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS w FROM part
+      |  ORDER BY p_partkey LIMIT 8
+      |), jobs AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS j FROM supplier
+      |  ORDER BY s_suppkey LIMIT 8
+      |), widx AS (
+      |  SELECT w, row_number() OVER (ORDER BY w) AS k FROM workers
+      |), jidx AS (
+      |  SELECT j, row_number() OVER (ORDER BY j) - 1 AS ji FROM jobs
+      |), costs AS (
+      |  SELECT w.w, ji.j, ji.ji,
+      |    CAST((w.w*w.w*577 + ji.j*ji.j*331 + w.w*ji.j*7919) % 9973 + 1
+      |      AS DOUBLE) AS cost
+      |  FROM workers w CROSS JOIN jidx ji
+      |), dp AS (
+      |  SELECT 0 AS k, CAST(0 AS BIGINT) AS mask, CAST(0 AS DOUBLE) AS tot,
+      |         CAST([] AS BIGINT[]) AS js
+      |  UNION ALL
+      |  SELECT d.k + 1, d.mask + (CAST(1 AS BIGINT) << c.ji), d.tot + c.cost,
+      |         list_append(d.js, c.j)
+      |  FROM dp d
+      |  JOIN widx w ON w.k = d.k + 1
+      |  JOIN costs c ON c.w = w.w
+      |   AND (d.mask & (CAST(1 AS BIGINT) << c.ji)) = 0
+      |), best AS (
+      |  SELECT js FROM dp WHERE k = (SELECT count(*) FROM workers)
+      |  ORDER BY tot LIMIT 1
+      |)
+      |SELECT wi.w AS vertex, b.js[CAST(wi.k AS INT)] AS assignment,
+      |  CAST((wi.w*wi.w*577 + b.js[CAST(wi.k AS INT)]*b.js[CAST(wi.k AS INT)]*331
+      |    + wi.w*b.js[CAST(wi.k AS INT)]*7919) % 9973 + 1 AS BIGINT) AS edge_cost
+      |FROM widx wi, best b""".stripMargin,
 
     "q_graph_stats" -> """WITH raw AS (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
