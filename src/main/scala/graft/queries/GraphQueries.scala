@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, ForceAtlas2, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -619,6 +619,32 @@ object GraphQueries {
       val trav = Bfs.run(g, Seq(root))
       val dests = trav.select(col(ID)).orderBy(col(ID).desc).limit(3)
       ExtractPaths.fromPredecessors(trav, dests)
+    }),
+
+    "q_force_atlas2" -> ((s, dir) => {
+      // ForceAtlas2 layout (reference algorithms.hpp:197) over the
+      // per-order part cliques of the 8 smallest orders — overlapping
+      // cliques give the layout real structure at every SF. 10
+      // iterations, reference-default forces; positions are micro-
+      // rounded every iteration so the unrolled SQL oracle reproduces
+      // the evolution exactly (see ForceAtlas2 Scaladoc).
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"))
+      val oks = li.select("l_orderkey").distinct().orderBy("l_orderkey").limit(8)
+      val lif = li.join(broadcast(oks), Seq("l_orderkey"))
+      val a = lif.as("a"); val b = lif.as("b")
+      val edges = a.join(b,
+          col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+        .select(col("a.l_partkey").cast("long").as(SRC),
+          col("b.l_partkey").cast("long").as(DST))
+        .distinct().withColumn(WEIGHT, lit(1.0))
+      val g = LinkGraph(edges, directed = false,
+        s.sessionState.conf.numShufflePartitions)
+      val out = ForceAtlas2.run(g, ForceAtlas2.Config(maxIter = 10))
+      out.select(col(ID),
+        round(col("x") * 1e6, 0).cast("long").as("x_micro"),
+        round(col("y") * 1e6, 0).cast("long").as("y_micro"))
     }),
 
     "q_hungarian" -> ((s, dir) => {
@@ -1435,6 +1461,8 @@ object GraphQueries {
       |    FROM csum s LEFT JOIN ccut cc ON cc.cluster = s.cluster) * 1e6, 0)
       |    AS BIGINT) AS ratio_cut_micro""".stripMargin,
 
+    "q_force_atlas2" -> fa2Sql(iters = 10),
+
     // Exact DP over job subsets (Held–Karp style; 8 workers -> ~1e5
     // permutation prefixes) recovering the assignment via the list
     // carried per dp row; the quadratic-hash cost matrix has a unique
@@ -1497,6 +1525,110 @@ object GraphQueries {
 
   private def recChain: String =
     CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
+
+  /** Unrolled ForceAtlas2 mirroring [[graft.algos.ForceAtlas2.run]]
+   * with default Config on the 8-smallest-orders clique fixture:
+   * exact all-pairs repulsion, linear attraction with outbound
+   * compensation, linear gravity, the FA2 global speed adaptation as
+   * a scalar CTE chain, and the SAME per-iteration micro-rounding of
+   * positions / forces / global swing+traction / speed scalars, so
+   * both engines walk an identical micro-lattice trajectory. */
+  private def fa2Sql(iters: Int): String = {
+    def mr(e: String): String = s"round(($e)*1e6)/1e6"
+    val roundCtes = (1 to iters).map { i =>
+      val p = s"fpos${i - 1}"
+      val sp = s"fsp${i - 1}"
+      // swing expression per vertex over the forces frame f
+      val swing = "f.m*sqrt((f.odx-f.fx)*(f.odx-f.fx)+(f.ody-f.fy)*(f.ody-f.fy))"
+      s"""frep$i AS MATERIALIZED (
+        |  SELECT a.id,
+        |    ${mr(s"sum((a.x-b.x)*2.0*a.m*b.m/" +
+             "((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)+1e-9))")} AS rx,
+        |    ${mr(s"sum((a.y-b.y)*2.0*a.m*b.m/" +
+             "((a.x-b.x)*(a.x-b.x)+(a.y-b.y)*(a.y-b.y)+1e-9))")} AS ry
+        |  FROM $p a JOIN $p b ON a.id <> b.id GROUP BY a.id),
+        |fatt$i AS MATERIALIZED (
+        |  SELECT id, sum(ax) AS ax, sum(ay) AS ay FROM (
+        |    SELECT e.src AS id,
+        |      (ps.x-pd.x)*(-(SELECT coef FROM fcf))/ps.m AS ax,
+        |      (ps.y-pd.y)*(-(SELECT coef FROM fcf))/ps.m AS ay
+        |    FROM fcanon e JOIN $p ps ON ps.id = e.src
+        |    JOIN $p pd ON pd.id = e.dst
+        |    UNION ALL
+        |    SELECT e.dst,
+        |      -(ps.x-pd.x)*(-(SELECT coef FROM fcf))/ps.m,
+        |      -(ps.y-pd.y)*(-(SELECT coef FROM fcf))/ps.m
+        |    FROM fcanon e JOIN $p ps ON ps.id = e.src
+        |    JOIN $p pd ON pd.id = e.dst
+        |  ) t GROUP BY id),
+        |ff$i AS MATERIALIZED (
+        |  SELECT pp.id, pp.m, pp.x, pp.y, pp.odx, pp.ody,
+        |    ${mr("coalesce(r.rx,0)+coalesce(a.ax,0) - " +
+             "pp.x*pp.m*1.0/sqrt(pp.x*pp.x+pp.y*pp.y+1e-9)")} AS fx,
+        |    ${mr("coalesce(r.ry,0)+coalesce(a.ay,0) - " +
+             "pp.y*pp.m*1.0/sqrt(pp.x*pp.x+pp.y*pp.y+1e-9)")} AS fy
+        |  FROM $p pp LEFT JOIN frep$i r ON r.id = pp.id
+        |  LEFT JOIN fatt$i a ON a.id = pp.id),
+        |fg$i AS (
+        |  SELECT
+        |    ${mr("sum(m*sqrt((odx-fx)*(odx-fx)+(ody-fy)*(ody-fy)))")} AS s,
+        |    ${mr("sum(0.5*m*sqrt((odx+fx)*(odx+fx)+(ody+fy)*(ody+fy)))")} AS t
+        |  FROM ff$i),
+        |fsp$i AS (
+        |  SELECT
+        |    ${mr("speed0 + least(target - speed0, 0.5*speed0)")} AS speed,
+        |    ${mr("eff2")} AS eff
+        |  FROM (
+        |    SELECT speed0, eff1, jt1, s, t,
+        |      CASE WHEN s = 0 THEN 1e308 ELSE jt1*eff1*t/s END AS target,
+        |      CASE WHEN s > jt1*t THEN
+        |             (CASE WHEN eff1 > 0.05 THEN eff1*0.7 ELSE eff1 END)
+        |           WHEN speed0 < 1000 THEN eff1*1.3 ELSE eff1 END AS eff2
+        |    FROM (
+        |      SELECT speed0, s, t,
+        |        CASE WHEN t > 0 AND s/t > 2.0 AND eff0 > 0.05
+        |             THEN eff0*0.5 ELSE eff0 END AS eff1,
+        |        CASE WHEN t > 0 AND s/t > 2.0
+        |             THEN greatest(jt0, 1.0) ELSE jt0 END AS jt1
+        |      FROM (
+        |        SELECT q.speed AS speed0, q.eff AS eff0, g.s, g.t,
+        |          1.0*greatest(sqrt(0.05*sqrt(n.n)),
+        |            least(10.0, 0.05*sqrt(n.n)*g.t/(n.n*n.n))) AS jt0
+        |        FROM $sp q, fg$i g, fnv n) t1) t2) t3),
+        |fpos$i AS MATERIALIZED (
+        |  SELECT f.id, f.m,
+        |    ${mr("f.x + f.fx*sp.speed/(1.0+sqrt(sp.speed*" + swing + "))")} AS x,
+        |    ${mr("f.y + f.fy*sp.speed/(1.0+sqrt(sp.speed*" + swing + "))")} AS y,
+        |    f.fx AS odx, f.fy AS ody
+        |  FROM ff$i f, fsp$i sp)""".stripMargin
+    }.mkString(",\n")
+
+    s"""WITH foks AS (
+      |  SELECT DISTINCT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 8
+      |), fedges AS (
+      |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS src,
+      |         CAST(b.l_partkey AS BIGINT) AS dst
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      |  WHERE a.l_orderkey IN (SELECT l_orderkey FROM foks)
+      |), fcanon AS (SELECT src, dst FROM fedges WHERE src < dst),
+      |fmass AS (
+      |  SELECT src AS id, CAST(count(*) AS DOUBLE) AS m FROM fedges GROUP BY src
+      |), fverts AS (SELECT DISTINCT src AS id FROM fedges),
+      |fnv AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fverts),
+      |fcf AS (SELECT (SELECT sum(m) FROM fmass)/(SELECT n FROM fnv) AS coef),
+      |fpos0 AS MATERIALIZED (
+      |  SELECT v.id, coalesce(ms.m, 0.0) AS m,
+      |    ${mr("(((v.id*37+11)%193)/96.0 - 1.0)*100.0")} AS x,
+      |    ${mr("(((v.id*53+29)%181)/90.0 - 1.0)*100.0")} AS y,
+      |    0.0 AS odx, 0.0 AS ody
+      |  FROM fverts v LEFT JOIN fmass ms ON ms.id = v.id),
+      |fsp0 AS (SELECT 1.0 AS speed, 1.0 AS eff),
+      |$roundCtes
+      |SELECT id, CAST(round(x*1e6, 0) AS BIGINT) AS x_micro,
+      |       CAST(round(y*1e6, 0) AS BIGINT) AS y_micro
+      |FROM fpos$iters""".stripMargin
+  }
 
   /** Unrolled Borůvka over the weighted symmetrized chain graph,
    * mirroring [[graft.algos.Mst]] exactly: per round, per-component
