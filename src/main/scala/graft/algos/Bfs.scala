@@ -47,9 +47,77 @@ object Bfs {
       pull: Option[Boolean] = None)
 
   /** Returns (id, distance, predecessor); sources have distance 0 and
-   * predecessor = themselves. */
+   * predecessor = themselves. Multiple sources MERGE into one
+   * traversal (min distance from any source); for one independent
+   * traversal per source see [[multiSource]]. The reference's
+   * filter_unreachable (`traversal/traveral_wrapper.pyx` sentinel
+   * filter) is implicit here: unreached vertices are simply absent. */
   def run(g0: LinkGraph, sources: Seq[Long], cfg: Config = Config()): DataFrame =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, sources, cfg))
+
+  /**
+   * One INDEPENDENT traversal per source in a single superstep loop —
+   * the reference's multi_source_bfs / concurrent_bfs
+   * (`python/cugraph/cugraph/traversal/ms_bfs.py:110,187`): the
+   * frontier is keyed (source, id), each superstep expands every
+   * source's frontier simultaneously (one co-partitioned edge join +
+   * one (source,dst) min-reduce — same shape Betweenness uses for its
+   * all-sources forward pass), so s sources cost one loop of s-times-
+   * wider frames instead of s loops. Rows scale with s·reach — the
+   * hazard the reference's `offload` flag addresses by spilling;
+   * Spark's shuffle spills the same way, so no special casing.
+   *
+   * Returns (source, id, distance, predecessor), min-id predecessor
+   * per (source, id), sources at distance 0 from themselves.
+   */
+  def multiSource(
+      g0: LinkGraph, sources: Seq[Long], maxDepth: Int = Int.MaxValue): DataFrame =
+    graft.core.SparkTuning.withoutAqe(g0.spark) {
+      val callerCached = g0.edges.storageLevel != StorageLevel.NONE
+      val g = if (callerCached) g0 else g0.cached()
+      val spark = g.spark
+      val p = g.numPartitions
+      val edges = g.edges
+      import spark.implicits._
+
+      var visited = Lineage.materialize(
+        sources.map(s => (s, s, 0L, s))
+          .toDF("source", ID, "distance", "predecessor")
+          .repartition(p, col(ID)),
+        eager = false)
+      var frontier = visited
+      var depth = 0L
+      var frontierSize = frontier.df.count()
+      val frames = scala.collection.mutable.ArrayBuffer[Lineage.Handle](visited)
+      while (frontierSize > 0 && depth < maxDepth) {
+        depth += 1
+        val expanded = edges
+          .join(frontier.df.select(col("source"), col(ID)).hint("shuffle_hash"),
+            edges(SRC) === col(ID))
+          .select(col("source"), col(DST), edges(SRC).as("pred"))
+          .groupBy("source", DST).agg(min("pred").as("predecessor"))
+          .join(visited.df.select(col("source"), col(ID).as(DST)),
+            Seq("source", DST), "left_anti")
+        val nextFrontier = Lineage.materialize(
+          expanded.select(col("source"), col(DST).as(ID),
+            lit(depth).as("distance"), col("predecessor"))
+            .repartition(p, col(ID)),
+          eager = false)
+        frontierSize = nextFrontier.df.count()
+        if (frontierSize > 0) {
+          val newVisited = Lineage.materialize(
+            visited.df.union(nextFrontier.df), eager = false)
+          frames += nextFrontier
+          frames += newVisited
+          visited = newVisited
+          frontier = nextFrontier
+        } else nextFrontier.release()
+      }
+      val out = Lineage.materialize(visited.df)
+      frames.foreach(_.release())
+      if (!callerCached) g.unpersist()
+      out.df
+    }
 
   private def runImpl(g0: LinkGraph, sources: Seq[Long], cfg: Config): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE

@@ -621,6 +621,15 @@ object GraphQueries {
       ExtractPaths.fromPredecessors(trav, dests)
     }),
 
+    "q_ms_bfs" -> ((s, dir) => {
+      // Per-source BFS from the 4 smallest chain vertices in ONE
+      // superstep loop (reference multi_source_bfs, ms_bfs.py:187).
+      val g = chainGraph(s, dir)
+      val srcs = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(4).collect().map(_.getLong(0)).toSeq
+      Bfs.multiSource(g, srcs, maxDepth = 60)
+    }),
+
     "q_force_atlas2" -> ((s, dir) => {
       // ForceAtlas2 layout (reference algorithms.hpp:197) over the
       // per-order part cliques of the 8 smallest orders — overlapping
@@ -1462,6 +1471,29 @@ object GraphQueries {
       |    AS BIGINT) AS ratio_cut_micro""".stripMargin,
 
     "q_force_atlas2" -> fa2Sql(iters = 10),
+
+    // Per-source BFS: the q_bfs recursion with the source id carried
+    // through the expansion (and predecessor re-derived per source).
+    "q_ms_bfs" -> s"""${recChain},
+      |roots AS (
+      |  SELECT src AS s FROM (SELECT DISTINCT src FROM edges) t
+      |  ORDER BY s LIMIT 4),
+      |d(s, v, dist) AS (
+      |  SELECT s, s, 0 FROM roots
+      |  UNION
+      |  SELECT d.s, e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
+      |  WHERE d.dist < 60
+      |),
+      |dmin AS (
+      |  SELECT s, v, CAST(min(dist) AS BIGINT) AS distance
+      |  FROM d GROUP BY s, v)
+      |SELECT dm.s AS source, dm.v AS id, dm.distance,
+      |  CASE WHEN dm.v = dm.s AND dm.distance = 0 THEN dm.v
+      |       ELSE (SELECT min(e.src) FROM edges e
+      |             JOIN dmin d2 ON d2.s = dm.s AND d2.v = e.src
+      |             WHERE e.dst = dm.v AND d2.distance = dm.distance - 1)
+      |  END AS predecessor
+      |FROM dmin dm""".stripMargin,
 
     // Exact DP over job subsets (Held–Karp style; 8 workers -> ~1e5
     // permutation prefixes) recovering the assignment via the list

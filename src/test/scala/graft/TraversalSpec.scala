@@ -2,7 +2,24 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.algos.{RandomWalks, Sssp}
+import graft.algos.{Bfs, RandomWalks, Sssp}
+
+class MultiSourceBfsSpec extends SparkSpec {
+  test("multiSource equals one independent Bfs.run per source") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val srcs = Seq(0L, 5L, 33L)
+    val got = Bfs.multiSource(g, srcs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val want = srcs.flatMap { s =>
+      Bfs.run(g, Seq(s)).collect()
+        .map(r => (s, r.getLong(0)) -> (r.getLong(1), r.getLong(2)))
+    }.toMap
+    assert(got == want)
+  }
+}
 
 class SsspSpec extends SparkSpec {
   test("sssp distances match Dijkstra; predecessors consistent") {
