@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.core.Hypergraph
 import graft.streaming.EventStream
 
 /** Batch form of the streaming transformations over the shared events
@@ -12,6 +13,22 @@ object EventQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_hourly" -> ((s, dir) =>
       EventStream.hourlyTypeCounts(s.read.parquet(s"$dir/events.parquet"))),
+
+    // Hypergraph lift of the events table (reference hypergraph.py:42):
+    // INDIRECT mode — each event row links to its user_id / event_type
+    // attribute nodes through an event hypernode.
+    "q_hypergraph" -> ((s, dir) =>
+      Hypergraph.transform(
+        s.read.parquet(s"$dir/events.parquet"),
+        columns = Seq("user_id", "event_type"), eventId = "event_id").edges),
+
+    // DIRECT mode — attribute nodes connect pairwise (user_id→event_type),
+    // deduped with a per-pair row count.
+    "q_hypergraph_direct" -> ((s, dir) =>
+      Hypergraph.transform(
+        s.read.parquet(s"$dir/events.parquet"),
+        columns = Seq("user_id", "event_type"), eventId = "event_id",
+        direct = true).edges),
 
     "q_events_user_top" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
@@ -24,6 +41,24 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_hypergraph" ->
+      """SELECT 'event_id::' || CAST(event_id AS VARCHAR) AS src,
+        |  'user_id::' || CAST(user_id AS VARCHAR) AS dst,
+        |  'user_id' AS edge_type
+        |FROM events WHERE user_id IS NOT NULL
+        |UNION ALL
+        |SELECT 'event_id::' || CAST(event_id AS VARCHAR),
+        |  'event_type::' || event_type, 'event_type'
+        |FROM events WHERE event_type IS NOT NULL""".stripMargin,
+
+    "q_hypergraph_direct" ->
+      """SELECT 'user_id::' || CAST(user_id AS VARCHAR) AS src,
+        |  'event_type::' || event_type AS dst,
+        |  'user_id::event_type' AS edge_type, count(*) AS n_rows
+        |FROM events
+        |WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1, 2, 3""".stripMargin,
+
     "q_events_hourly" ->
       """SELECT epoch_us(ts) // 3600000000 AS hour_bucket, event_type,
         |  count(*) AS n,
