@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, ForceAtlas2, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, ForceAtlas2, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TraversedCost, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -619,6 +619,18 @@ object GraphQueries {
       val trav = Bfs.run(g, Seq(root))
       val dests = trav.select(col(ID)).orderBy(col(ID).desc).limit(3)
       ExtractPaths.fromPredecessors(trav, dests)
+    }),
+
+    "q_traversed_cost" -> ((s, dir) => {
+      // get_traversed_cost (reference path_retrieval.py:22): the BFS
+      // hop tree costed with the min-quantity edge weights — the value
+      // column deliberately differs from the traversal's own metric.
+      val g = chainGraph(s, dir)
+      val root = g.edges.agg(min(col(SRC))).head().getLong(0)
+      val trav = Bfs.run(g, Seq(root))
+      TraversedCost.run(trav, weightedChainGraph(s, dir).edges)
+        .select(col(ID),
+          round(col("cost") * 1e6, 0).cast("long").as("cost_micro"))
     }),
 
     "q_ms_bfs" -> ((s, dir) => {
@@ -1474,6 +1486,50 @@ object GraphQueries {
 
     // Per-source BFS: the q_bfs recursion with the source id carried
     // through the expansion (and predecessor re-derived per source).
+    // BFS hop tree (the q_bfs reconstruction) costed with the
+    // min-quantity weights: recursive walk cur→predecessor summing the
+    // weight of each tree edge; terminal row per vertex once cur hits
+    // the root. Weights are integer-valued doubles, so the engine's
+    // doubling-order sum and this sequential sum agree exactly.
+    "q_traversed_cost" -> s"""${recChain
+        .replace("WITH RECURSIVE pairs AS (", "WITH RECURSIVE pairs AS MATERIALIZED (")
+        .replace("), edges AS (", "), edges AS MATERIALIZED (")},
+      |directed AS (
+      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+      |), wedges AS MATERIALIZED (
+      |  SELECT src, dst, min(weight) AS weight FROM (
+      |    SELECT src, dst, weight FROM directed
+      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+      |  ) t GROUP BY src, dst
+      |),
+      |root AS MATERIALIZED (SELECT min(src) AS r FROM edges),
+      |d(v, dist) AS (
+      |  SELECT r, 0 FROM root
+      |  UNION
+      |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
+      |  WHERE d.dist < 60
+      |),
+      |dmin AS MATERIALIZED (
+      |  SELECT v, CAST(min(dist) AS BIGINT) AS distance FROM d GROUP BY v),
+      |predt AS MATERIALIZED (
+      |  SELECT dm.v, dm.distance,
+      |    CASE WHEN dm.v = (SELECT r FROM root) THEN dm.v
+      |         ELSE (SELECT min(e.src) FROM edges e
+      |               JOIN dmin d2 ON d2.v = e.src
+      |               WHERE e.dst = dm.v AND d2.distance = dm.distance - 1)
+      |    END AS predecessor
+      |  FROM dmin dm),
+      |wk(v, cur, acc) AS (
+      |  SELECT v, v, CAST(0.0 AS DOUBLE) FROM predt
+      |  UNION ALL
+      |  SELECT w.v, p.predecessor, w.acc + CAST(e.weight AS DOUBLE)
+      |  FROM wk w
+      |  JOIN predt p ON p.v = w.cur AND p.distance > 0
+      |  JOIN wedges e ON e.src = p.predecessor AND e.dst = w.cur
+      |)
+      |SELECT w.v AS id, CAST(round(w.acc * 1e6) AS BIGINT) AS cost_micro
+      |FROM wk w JOIN predt p2 ON p2.v = w.cur WHERE p2.distance = 0""".stripMargin,
+
     "q_ms_bfs" -> s"""${recChain},
       |roots AS (
       |  SELECT src AS s FROM (SELECT DISTINCT src FROM edges) t

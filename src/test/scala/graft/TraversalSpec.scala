@@ -82,3 +82,53 @@ class RandomWalksSpec extends SparkSpec {
     assert(w3 != w1)
   }
 }
+
+class TraversedCostSpec extends SparkSpec {
+  import graft.algos.TraversedCost
+
+  test("path costs sum the value weights along the BFS tree, source = 0") {
+    import spark.implicits._
+    // Tree rooted at 0: 0-1 (w 5), 0-2 (w 7), 1-3 (w 11), 3-4 (w 13);
+    // extra non-tree edge 2-4 (w 1) must NOT be charged — the cost
+    // follows the predecessor tree, not the cheapest route.
+    val edges = Seq(
+      (0L, 1L, 5.0), (1L, 0L, 5.0), (0L, 2L, 7.0), (2L, 0L, 7.0),
+      (1L, 3L, 11.0), (3L, 1L, 11.0), (3L, 4L, 13.0), (4L, 3L, 13.0),
+      (2L, 4L, 1.0), (4L, 2L, 1.0))
+    val g = graphOf(edges)
+    val trav = Bfs.run(g, Seq(0L))
+    val got = TraversedCost.run(trav, g.edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // BFS from 0: pred(4) is min-id of {2,3} at distance 2 → 2.
+    assert(got == Map(0L -> 0.0, 1L -> 5.0, 2L -> 7.0, 3L -> 16.0,
+      4L -> 8.0))
+  }
+
+  test("independent value column: hop tree costed with non-hop weights") {
+    import spark.implicits._
+    val edges = Seq((0L, 1L, 100.0), (1L, 0L, 100.0),
+      (1L, 2L, 200.0), (2L, 1L, 200.0))
+    val g = graphOf(edges)
+    val trav = Bfs.run(g, Seq(0L)) // hop distances 0,1,2
+    val got = TraversedCost.run(trav, g.edges).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got == Map(0L -> 0.0, 1L -> 100.0, 2L -> 300.0))
+  }
+
+  test("1000-hop chain costs in 10 doubling rounds, not 1000 supersteps") {
+    import spark.implicits._
+    val trav = (0L to 1000L)
+      .map(v => (v, v, math.max(0L, v - 1L)))
+      .toDF("id", "distance", "predecessor")
+    val w = (0L until 1000L).map(v => (v, v + 1L, (v + 1L).toDouble))
+      .toDF("src", "dst", "weight")
+    val got = TraversedCost.run(trav, w).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(TraversedCost.lastRounds == 10)
+    assert(got.size == 1001)
+    // cost(v) = 1 + 2 + ... + v
+    assert(got(1000L) == 1000.0 * 1001.0 / 2)
+    assert(got(7L) == 28.0)
+    assert(got(0L) == 0.0)
+  }
+}
