@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{EventQueries, GraphQueries, TextQueries, WebQueries}
+import graft.queries.{EventQueries, GraphQueries, PropertyQueries, TextQueries, WebQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -16,7 +16,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     GraphQueries.queries ++ WebQueries.queries ++ TextQueries.queries ++
-      EventQueries.queries
+      EventQueries.queries ++ PropertyQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. The q_web_* oracles read the corpus dump
@@ -24,5 +24,6 @@ object SparkEntry {
     * whole extract→renumber→algorithm pipeline in SQL. */
   def oracleSql: Map[String, String] =
     GraphQueries.oracleSql ++ WebQueries.oracleSql ++
-      TextQueries.oracleSql ++ EventQueries.oracleSql
+      TextQueries.oracleSql ++ EventQueries.oracleSql ++
+      PropertyQueries.oracleSql
 }
