@@ -745,10 +745,13 @@ object GraphQueries {
           col("a.l_partkey").cast("long").as(SRC),
           col("b.l_partkey").cast("long").as(DST),
           col("a.l_quantity").cast("double").as(WEIGHT))
+      // Cache the raw multigraph for the counter pass: each counter is
+      // its own driver action, and uncached each re-ran the lineitem
+      // self-join (6 joins for 6 scalars).
       val g = LinkGraph(raw, directed = true,
-        s.sessionState.conf.numShufflePartitions)
+        s.sessionState.conf.numShufflePartitions).cached()
       import s.implicits._
-      Seq((
+      val stats = Seq((
         g.numEdges,
         g.numVertices,
         g.countSelfLoops,
@@ -757,6 +760,8 @@ object GraphQueries {
         g.countIfV(pmod(col(ID), lit(2L)) === 0L)
       )).toDF("n_edges", "n_vertices", "self_loops", "multi_edges",
         "heavy_edges", "even_vertices")
+      g.unpersist()
+      stats
     })
   )
 
