@@ -81,11 +81,17 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       (System.nanoTime() - t0) / 1e9
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t1 = timeOnce(fn)
-      val best = if (t1 > 5.0) math.min(t1, timeOnce(fn)) else t1
-      (name, best, t1)
-    }
+    // Optional regex filter (builder-local probing only; the driver
+    // sets no filter and sweeps everything).
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) =>
+        filter.forall(_.findFirstIn(name).isDefined) }
+      .map { case (name, fn) =>
+        val t1 = timeOnce(fn)
+        val best = if (t1 > 5.0) math.min(t1, timeOnce(fn)) else t1
+        (name, best, t1)
+      }
 
     // Headline: corpus (scale, EF16) -> extract -> renumber -> PageRank
     // to 1e-6; corpus build + graph build are reported separately from

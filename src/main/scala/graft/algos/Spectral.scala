@@ -233,7 +233,16 @@ object Spectral {
    *
    * Returns (id, cluster) with cluster ∈ [0, k).
    */
-  def balancedCut(g0: LinkGraph, k: Int, cfg: Config = Config()): DataFrame = {
+  /** `rootCut`: an optional precomputed top-level Fiedler bipartition
+   * of `g0` under the same `cfg` (e.g. the frame a sibling fiedlerCut
+   * query already published). The recursion's FIRST cut call is
+   * always the root graph, so substituting it is exact — the induced
+   * halves still run their own power iterations. */
+  def balancedCut(
+      g0: LinkGraph,
+      k: Int,
+      cfg: Config = Config(),
+      rootCut: Option[DataFrame] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     graft.core.SparkTuning.withoutAqe(g0.spark) {
       val callerCached = g0.edges.storageLevel != StorageLevel.NONE
@@ -242,9 +251,13 @@ object Spectral {
       // stay pinned until the FINAL frame materializes (the per-level
       // labels are lazy views over them), then be dropped together.
       val pinned = scala.collection.mutable.ArrayBuffer[LinkGraph]()
+      val rootPending = new java.util.concurrent.atomic.AtomicBoolean(
+        rootCut.isDefined)
       val out = Lineage.materialize(
         clusterRec(g, g.vertices, k, 0L, cfg, pinned,
-          (sg, c) => fiedlerCut(sg, c)))
+          (sg, c) =>
+            if (rootPending.compareAndSet(true, false)) rootCut.get
+            else fiedlerCut(sg, c)))
       pinned.foreach(_.unpersist())
       if (!callerCached) g.unpersist()
       out.df

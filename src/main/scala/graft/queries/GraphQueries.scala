@@ -467,9 +467,13 @@ object GraphQueries {
 
     "q_spectral_k" -> ((s, dir) =>
       // Recursive Fiedler bisection to k=4 leaves (reference
-      // spectralBalancedCutClustering for arbitrary n_clusters).
+      // spectralBalancedCutClustering for arbitrary n_clusters). The
+      // root bisection is exactly the q_spectral cut — reuse the
+      // shared frame (built here if run standalone); the two induced
+      // halves still run their own concurrent power iterations.
       Spectral.balancedCut(chainGraph(s, dir), 4,
-        Spectral.Config(iterations = 20, seed = 42L))),
+        Spectral.Config(iterations = 20, seed = 42L),
+        rootCut = Some(fiedlerLabels(s, dir)))),
 
     "q_node2vec" -> ((s, dir) => {
       // Deterministic node2vec walks (p=2, q=0.5), length 4, from the
