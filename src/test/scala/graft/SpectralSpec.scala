@@ -76,6 +76,13 @@ class SpectralSpec extends SparkSpec {
     val again = Spectral.balancedCut(g, 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again == k4)
+    // Substituting a precomputed root bisection (the q_spectral /
+    // q_spectral_k sharing path) is exact: only the recursion's first
+    // cut call is replaced.
+    val shared = Spectral.balancedCut(g, 4,
+        rootCut = Some(Spectral.fiedlerCut(g))).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shared == k4)
   }
 
   /** Host mirror of the modularity-matrix power iteration
