@@ -126,6 +126,30 @@ object Dedup {
           .cast("long").as("jac_micro"))
   }
 
+  /** Benchmark decontamination (the GPT-3-style n-gram overlap check a
+   * pretraining pipeline runs before training): for each corpus
+   * document, the distinct character n-grams (default 13, stride 1)
+   * it shares with ANY benchmark document, and how many benchmark
+   * docs it collides with. Scale shape: both sides shingle
+   * partition-locally, dedupe once, and meet in a hash join ON THE
+   * N-GRAM — never doc×doc; the benchmark side is orders of magnitude
+   * smaller than the corpus, so AQE broadcasts it at typical sizes
+   * and the corpus side never reshuffles by document. Only
+   * contaminated docs are returned (the clean 99.9% produce no join
+   * rows at all). */
+  def contamination(
+      docs: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchIdCol: String, benchTextCol: String,
+      n: Int = 13): DataFrame = {
+    val cg = shingles(docs, idCol, textCol, n, stride = 1).distinct()
+    val bg = shingles(benchmark, benchIdCol, benchTextCol, n, stride = 1)
+      .select(col(benchIdCol).as("__bench_id"), col("shingle")).distinct()
+    cg.join(bg, Seq("shingle"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("dirty_grams"),
+        countDistinct(col("__bench_id")).as("bench_docs"))
+  }
+
   /** 32-bit SimHash over whitespace tokens: per-bit majority vote of
    * token hashes (md5 hex prefix → int). Deterministic and portable —
    * the SQL oracle reproduces it bit-for-bit. */

@@ -62,6 +62,15 @@ object TextQueries {
       // graph, canonical keeper = min doc id per group.
       Dedup.nearDupGroups(docs(s, dir), "doc_id", "text")),
 
+    "q_doc_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs >= 20 form the corpus, docs
+      // < 20 stand in for the held-out benchmark; 13-gram overlap.
+      val d = docs(s, dir)
+      Dedup.contamination(
+        d.filter(col("doc_id") >= 20), "doc_id", "text",
+        d.filter(col("doc_id") < 20), "doc_id", "text")
+    }),
+
     "q_doc_ngram_jaccard" -> ((s, dir) => {
       val d = docs(s, dir)
       Dedup.ngramJaccard(d, "doc_id", "text", consecutivePairs(d))
@@ -202,6 +211,25 @@ object TextQueries {
         |JOIN sizes sa ON sa.doc_id = p.a
         |JOIN sizes sb ON sb.doc_id = p.b
         |LEFT JOIN inter i ON i.a = p.a AND i.b = p.b""".stripMargin,
+
+    "q_doc_decontaminate" ->
+      """WITH corp AS (SELECT doc_id, text FROM documents WHERE doc_id >= 20),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id < 20),
+        |cg AS (
+        |  SELECT DISTINCT doc_id, substr(text, CAST(i AS INT), 13) AS g
+        |  FROM corp,
+        |    unnest(generate_series(1, greatest(length(text) - 12, 1), 1)) t(i)
+        |),
+        |bg AS (
+        |  SELECT DISTINCT doc_id AS bid, substr(text, CAST(i AS INT), 13) AS g
+        |  FROM bench,
+        |    unnest(generate_series(1, greatest(length(text) - 12, 1), 1)) t(i)
+        |)
+        |SELECT cg.doc_id,
+        |  count(DISTINCT cg.g) AS dirty_grams,
+        |  count(DISTINCT bg.bid) AS bench_docs
+        |FROM cg JOIN bg ON bg.g = cg.g
+        |GROUP BY cg.doc_id""".stripMargin,
 
     "q_embed_cosine_topk" ->
       """WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e

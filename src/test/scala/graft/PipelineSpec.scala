@@ -60,6 +60,30 @@ class DedupSpec extends SparkSpec {
     assert(j((0L, 3L)) < 100000L)
   }
 
+  test("contamination flags only corpus docs sharing n-grams with the benchmark") {
+    val s = spark
+    import s.implicits._
+    val corpus = Seq(
+      (20L, "the quick brown fox jumps over the lazy dog"), // overlaps both
+      (21L, "zzz 0123456789 unrelated corpus qqq xyz"),     // clean
+      (22L, "the quick brown fox sat still"))               // overlaps bench 0 only
+      .toDF("doc_id", "text")
+    val bench = Seq(
+      (0L, "the quick brown fox jumps far"),
+      (1L, "jumps over the lazy dog daily"))
+      .toDF("doc_id", "text")
+    val got = Dedup.contamination(corpus, "doc_id", "text",
+        bench, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!got.contains(21L), "clean doc must produce no row")
+    assert(got.contains(20L) && got(20L)._2 == 2L, s"doc 20: $got")
+    assert(got.contains(22L) && got(22L)._2 == 1L, s"doc 22: $got")
+    // dirty_grams counts DISTINCT shared grams: doc 20 shares the full
+    // "the quick brown fox jumps" window with bench 0 (13 positions)
+    // and "jumps over the lazy dog" with bench 1 (11 positions)
+    assert(got(20L)._1 > got(22L)._1, s"doc 20 dirtier than 22: $got")
+  }
+
   test("simhash: near-identical texts have small hamming distance") {
     val sim = Dedup.simhash(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
