@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.algos.Bicliques
 import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
 
 /**
@@ -111,8 +112,22 @@ object TextQueries {
       Multimodal.sampleFrames(
         Multimodal.stubDecode(
           Multimodal.asMediaTable(docs(s, dir), "doc_id", "text"), "doc_id"),
-        "doc_id", stepS = 5))
+        "doc_id", stepS = 5)),
+
+    // Bipartite doc×token lift driving the reference's find_bicliques
+    // heuristic; flag marks every 7th doc as a "bad machine".
+    "q_bicliques" -> ((s, dir) => docBicliques(docs(s, dir)).members),
+
+    "q_bicliques_stats" -> ((s, dir) => docBicliques(docs(s, dir)).stats)
   )
+
+  private def docBicliques(d: DataFrame): Bicliques.Result = {
+    val edges = d.select(col("doc_id").as("src"),
+        explode(split(trim(col("text")), "\\s+")).as("dst"))
+      .withColumn("flag", (col("src") % 7 === 0).cast("int"))
+    Bicliques.findBicliques(edges,
+      support = 0.75, minFeatures = 5, minMachines = 100)
+  }
 
   // ---------------- DuckDB oracles ----------------
 
@@ -364,6 +379,22 @@ object TextQueries {
         |  FROM scored
         |) WHERE rank <= 5""".stripMargin,
 
+    "q_bicliques" ->
+      s"""WITH $bicliqueChain
+         |SELECT t.id, CAST(e.src AS VARCHAR) AS vert, CAST(0 AS INT) AS type
+         |FROM e JOIN topk t ON t.f = e.dst
+         |UNION ALL
+         |SELECT t.id, CAST(c.f2 AS VARCHAR) AS vert, CAST(1 AS INT) AS type
+         |FROM cand c JOIN topk t ON t.f = c.f""".stripMargin,
+
+    "q_bicliques_stats" ->
+      s"""WITH $bicliqueChain
+         |SELECT id, deg + n_feat AS total, deg AS machines,
+         |  n_feat AS features,
+         |  CAST(round(bad * 1e6 / (deg + n_feat), 0) AS BIGINT)
+         |    AS bad_ratio_micro
+         |FROM topk""".stripMargin,
+
     "q_multimodal_frames" ->
       """WITH dec AS (
         |  SELECT doc_id,
@@ -376,6 +407,56 @@ object TextQueries {
         |FROM dec, unnest(generate_series(0, duration_s - 1, 5)) t(f)
         |WHERE media_type = 'video/mp4'""".stripMargin
   )
+
+  /** SQL mirror of `Bicliques.findBicliques` over the doc×token lift
+   * (support 0.75, minFeatures 5, minMachines 100, flag = src%7==0):
+   * distinct edges → per-feature (deg, bad, xor-of-md5-prefix set
+   * fingerprint) → visit-order window with same-set skip → machine-key
+   * co-occurrence → support filter → one-up emission ids. */
+  private lazy val bicliqueChain: String =
+    """e AS MATERIALIZED (
+      |  SELECT DISTINCT doc_id AS src, tok AS dst,
+      |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS flag
+      |  FROM documents, unnest(regexp_extract_all(text, '\S+')) t(tok)
+      |),
+      |feat AS (
+      |  SELECT dst, count(*) AS deg, sum(flag) AS bad,
+      |    bit_xor(('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15))::BIGINT)
+      |      AS fp
+      |  FROM e GROUP BY dst
+      |),
+      |ordered AS (
+      |  SELECT dst, deg, bad,
+      |    row_number() OVER w AS rn,
+      |    (deg = lag(deg) OVER w AND fp = lag(fp) OVER w) AS same_as_last
+      |  FROM feat
+      |  WINDOW w AS (ORDER BY deg DESC, dst ASC)
+      |),
+      |kept AS (
+      |  SELECT dst AS f, deg, bad, rn FROM ordered
+      |  WHERE NOT coalesce(same_as_last, FALSE) AND deg >= 100
+      |),
+      |cooc AS (
+      |  SELECT l.f, r.dst AS f2, count(*) AS shared
+      |  FROM (SELECT e.dst AS f, e.src FROM e JOIN kept k ON k.f = e.dst) l
+      |  JOIN e r ON r.src = l.src
+      |  GROUP BY l.f, r.dst
+      |),
+      |cand AS (
+      |  SELECT c.f, c.f2, k.deg, k.bad, k.rn
+      |  FROM cooc c JOIN kept k ON k.f = c.f
+      |  WHERE c.shared >= CAST(floor(k.deg * 0.75) AS BIGINT)
+      |),
+      |perf AS (
+      |  SELECT f, deg, bad, rn, count(*) AS n_feat
+      |  FROM cand GROUP BY f, deg, bad, rn
+      |  HAVING count(*) > 5
+      |),
+      |topk AS (
+      |  SELECT f, CAST(row_number() OVER (ORDER BY rn ASC) - 1 AS INT) AS id,
+      |    deg, bad, n_feat
+      |  FROM perf
+      |)""".stripMargin
 
   private lazy val simhashSql: String = {
     val votes = (0 until 32).map(j =>

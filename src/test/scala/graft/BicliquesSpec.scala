@@ -1,0 +1,67 @@
+package graft
+
+import graft.algos.Bicliques
+
+class BicliquesSpec extends SparkSpec {
+
+  // Machines 1..4 share features {10, 11, 14} completely; machine 5
+  // adds {10, 12}; machine 6 only {13}. Machine 2 is flagged bad.
+  private lazy val edges = {
+    val s = spark
+    import s.implicits._
+    val pairs =
+      (1 to 4).flatMap(m => Seq((m.toLong, 10L), (m.toLong, 11L), (m.toLong, 14L))) ++
+        Seq((5L, 10L), (5L, 12L), (6L, 13L))
+    pairs.map { case (src, dst) => (src, dst, if (src == 2L) 1 else 0) }
+      .toDF("src", "dst", "flag")
+  }
+
+  test("support=1.0 finds the complete 4x3 biclique once (same-set skip)") {
+    val r = Bicliques.findBicliques(edges, minFeatures = 1, minMachines = 3)
+    val stats = r.stats.collect()
+    assert(stats.length == 1)
+    val s0 = stats.head
+    assert(s0.getInt(0) == 0)
+    assert(s0.getLong(1) == 7L, "total = 4 machines + 3 features")
+    assert(s0.getLong(2) == 4L && s0.getLong(3) == 3L)
+    // one flagged machine over total=7 (reference divides by total)
+    assert(s0.getLong(4) == math.round(1e6 / 7))
+
+    val members = r.members.collect()
+      .map(x => (x.getInt(0), x.getString(1), x.getInt(2))).toSet
+    val want = (1 to 4).map(m => (0, m.toString, 0)).toSet ++
+      Set("10", "11", "14").map(f => (0, f, 1))
+    assert(members == want)
+    // feature 14 has the same machine set as 11 -> skipped, no id 1;
+    // feature 10's own-machine-set candidate set is just {10} -> no emit
+  }
+
+  test("support<1 emits per surviving feature in degree order; k caps") {
+    val r = Bicliques.findBicliques(edges, support = 0.75,
+      minFeatures = 1, minMachines = 3)
+    val stats = r.stats.collect().sortBy(_.getInt(0))
+    assert(stats.length == 2)
+    // id 0 = feature 10 (deg 5): goal int(5*0.75)=3 -> C={10,11,14}
+    assert(stats(0).getLong(2) == 5L && stats(0).getLong(3) == 3L)
+    // id 1 = feature 11 (deg 4): goal 3 -> same C; 14 skipped (same set)
+    assert(stats(1).getLong(2) == 4L && stats(1).getLong(3) == 3L)
+    val m0 = r.members.filter("id = 0 and type = 0").collect()
+      .map(_.getString(1)).toSet
+    assert(m0 == Set("1", "2", "3", "4", "5"))
+
+    val capped = Bicliques.findBicliques(edges, k = 1, support = 0.75,
+      minFeatures = 1, minMachines = 3)
+    assert(capped.stats.collect().map(_.getInt(0)).toSeq == Seq(0))
+  }
+
+  test("maxIter and minMachines prune features before co-occurrence") {
+    // maxIter=1 only visits feature 10 (deg 5); its candidate set at
+    // support=1 is just itself -> nothing emitted
+    val r1 = Bicliques.findBicliques(edges, maxIter = 1,
+      minFeatures = 1, minMachines = 3)
+    assert(r1.stats.count() == 0)
+    // minMachines above every degree -> nothing emitted
+    val r2 = Bicliques.findBicliques(edges, minFeatures = 1, minMachines = 99)
+    assert(r2.stats.count() == 0)
+  }
+}
