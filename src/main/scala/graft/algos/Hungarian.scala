@@ -67,6 +67,21 @@ object Hungarian {
     assign(costs)
   }
 
+  /** Dense-matrix entry point — the reference's `dense_hungarian`
+   * (`/root/reference/python/cugraph/cugraph/linear_assignment/lap.py:98-150`:
+   * a flat row-major cost matrix of num_rows × num_cols). Input here is
+   * one row per worker with its full cost row as an array (the same
+   * shape [[graft.core.LinkGraph.fromDenseAdjacency]] consumes); the
+   * posexplode to (worker, job, cost) is partition-local, then the
+   * standard sparse auction runs. */
+  def assignDense(dense: DataFrame, idCol: String, rowCol: String): Result = {
+    val costs = dense.select(col(idCol).cast("long").as(W),
+        posexplode(col(rowCol)).as(Seq("j", "cost")))
+      .select(col(W), col("j").cast("long").as(J),
+        col("cost").cast("double").as("cost"))
+    assign(costs)
+  }
+
   /**
    * Solve min-cost assignment over `costs` (worker, job, cost) — every
    * distinct worker gets exactly one distinct job. Parallel (worker,

@@ -96,4 +96,59 @@ object RandomWalks {
     if (!callerCached) g.unpersist()
     result.df
   }
+
+  /**
+   * Coalesced-path offsets for variable-length walks — reference
+   * rw_path (`/root/reference/python/cugraph/cugraph/sampling/random_walks.py:107`,
+   * kernel `rw_path_retrieval`): from per-path vertex counts, the
+   * exclusive prefix-sum vertex/weight offsets and per-path weight
+   * sizes (= size − 1). Input: (path id, size). The prefix sum is the
+   * DenseRank two-phase shape — range-partition on path id, per-
+   * partition totals (a numPartitions-row driver collect), partition-
+   * local running sums — never a single-partition global window.
+   */
+  def pathOffsets(
+      sizes: DataFrame,
+      idCol: String = "path_id",
+      sizeCol: String = "size",
+      numPartitions: Int = 0): DataFrame = {
+    val spark = sizes.sparkSession
+    val p = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sorted = Lineage.materialize(
+      sizes.select(col(idCol).cast("long").as("path_id"),
+          col(sizeCol).cast("long").as("sz"))
+        .repartitionByRange(p, col("path_id"))
+        .sortWithinPartitions(col("path_id"))
+        .withColumn("__pid", spark_partition_id()))
+
+    val totals = sorted.df.groupBy("__pid")
+      .agg(sum("sz").as("v"), sum(col("sz") - 1).as("w")).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val maxPid = if (totals.isEmpty) -1 else totals.keys.max
+    var (accV, accW) = (0L, 0L)
+    val offsetRows = (0 to maxPid).map { pid =>
+      val row = (pid, accV, accW)
+      val t = totals.getOrElse(pid, (0L, 0L))
+      accV += t._1; accW += t._2
+      row
+    }
+    import spark.implicits._
+    val offsets = broadcast(offsetRows.toDF("__pid", "__voff", "__woff"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("path_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val out = sorted.df
+      .join(offsets, Seq("__pid"), "left")
+      .select(col("path_id"),
+        (coalesce(sum("sz").over(w), lit(0L)) + coalesce(col("__voff"), lit(0L)))
+          .as("vertex_offsets"),
+        (col("sz") - 1).as("weight_sizes"),
+        (coalesce(sum(col("sz") - 1).over(w), lit(0L)) +
+          coalesce(col("__woff"), lit(0L))).as("weight_offsets"))
+    val res = Lineage.materialize(out)
+    sorted.release()
+    res.df
+  }
 }

@@ -113,4 +113,41 @@ object Sssp {
     if (!callerCached) g.unpersist()
     out.df
   }
+
+  /**
+   * Drop unreachable rows from a BFS/SSSP result — reference
+   * filter_unreachable (`/root/reference/python/cugraph/cugraph/traversal/sssp.py:253-281`):
+   * unreachable = distance at the dtype's max value (the reference's
+   * sentinel; our own run() emits reached vertices only, so this
+   * matters for results imported from sentinel-style producers).
+   */
+  def filterUnreachable(df: DataFrame, distCol: String = "distance"): DataFrame = {
+    import org.apache.spark.sql.types._
+    val sentinel = df.schema(distCol).dataType match {
+      case DoubleType => lit(Double.MaxValue)
+      case FloatType => lit(Float.MaxValue)
+      case LongType => lit(Long.MaxValue)
+      case IntegerType => lit(Int.MaxValue)
+      case t => throw new IllegalArgumentException(
+        s"unsupported distance type $t")
+    }
+    df.filter(col(distCol) =!= sentinel)
+  }
+
+  /**
+   * Distance from `source` to every reachable vertex, or to one
+   * `target` — reference shortest_path_length
+   * (`/root/reference/python/cugraph/cugraph/traversal/sssp.py:299`).
+   * Returns (id, distance); with a target, at most one row (empty =
+   * unreachable, surfaced as a frame rather than the reference's
+   * host-side ValueError so the plan stays lazy).
+   */
+  def shortestPathLength(
+      g: LinkGraph,
+      source: Long,
+      target: Option[Long] = None,
+      cfg: Config = Config()): DataFrame = {
+    val d = run(g, source, cfg).select(col(ID), col("distance"))
+    target.map(t => d.filter(col(ID) === t)).getOrElse(d)
+  }
 }

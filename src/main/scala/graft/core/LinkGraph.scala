@@ -100,6 +100,12 @@ final case class LinkGraph(
   def countMultiEdges: Long =
     edges.groupBy(SRC, DST).count().filter(col("count") > 1).count()
 
+  /** Structural multigraph test (reference `is_multigraph`,
+   * `graph_classes.py:551` — there a constructor flag; here computed
+   * from the data, like [[graft.algos.Bipartite]] computes the
+   * coloring `is_bipartite` stubs). */
+  def isMultigraph: Boolean = countMultiEdges > 0L
+
   /** Count edges satisfying a predicate over (src, dst, weight) —
    * the reference's count_if_e
    * (`/root/reference/cpp/src/prims/count_if_e.cuh:91`, used e.g. for
@@ -190,5 +196,58 @@ object LinkGraph {
       explode(col(nbrsCol)).as("nbr"))
       .select(col(SRC), col("nbr").cast("long").as(DST), lit(1.0).as(WEIGHT))
     LinkGraph(e, directed, n)
+  }
+
+  /**
+   * Build from a dense adjacency frame — one row per vertex with its
+   * full weight row as an array, column position = destination vertex
+   * id, zeros = non-edges (reference from_pandas_adjacency /
+   * from_numpy_array / from_numpy_matrix,
+   * `/root/reference/python/cugraph/cugraph/structure/convert_matrix.py:337,382,426`).
+   * The posexplode is partition-local; the V² cell volume exists only
+   * inside the scan stage and is filtered to the nonzeros before any
+   * shuffle — the edge list, not the matrix, is what moves.
+   */
+  def fromDenseAdjacency(
+      df: DataFrame,
+      idCol: String,
+      rowCol: String,
+      directed: Boolean = true,
+      numPartitions: Int = 0): LinkGraph = {
+    val n = if (numPartitions > 0) numPartitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val e = df
+      .select(col(idCol).cast("long").as(SRC),
+        posexplode(col(rowCol)).as(Seq("pos", "w")))
+      .filter(col("w").isNotNull && col("w") =!= 0.0)
+      .select(col(SRC), col("pos").cast("long").as(DST),
+        col("w").cast("double").as(WEIGHT))
+    LinkGraph(e, directed, n)
+  }
+
+  /**
+   * Dense adjacency export — one row per vertex 0..n-1 with the full
+   * weight row (missing edges 0.0), the engine-side analog of
+   * to_pandas_adjacency / to_numpy_array (`convert_matrix.py:368,413`).
+   * Output is intrinsically V² cells, so like the exact-ANN baseline it
+   * REFUSES oversized graphs instead of silently materializing them;
+   * multi-edges collapse to the min weight (symmetrize's dedupe rule).
+   */
+  def toDenseAdjacency(g: LinkGraph, maxVertices: Int = 1 << 16): DataFrame = {
+    val n = g.edges
+      .agg(coalesce(max(greatest(col(SRC), col(DST))) + 1, lit(0L)))
+      .head().getLong(0)
+    require(n <= maxVertices,
+      s"dense adjacency of $n vertices exceeds maxVertices=$maxVertices " +
+        "(n^2 cells); export the edge list instead")
+    val rows = g.edges.groupBy(SRC, DST).agg(min(WEIGHT).as(WEIGHT))
+      .groupBy(col(SRC).as(ID))
+      .agg(map_from_entries(collect_list(struct(col(DST), col(WEIGHT))))
+        .as("m"))
+    g.spark.range(n).select(col("id").as(ID))
+      .join(rows, Seq(ID), "left")
+      .select(col(ID),
+        transform(sequence(lit(0L), lit(n - 1)),
+          j => coalesce(try_element_at(col("m"), j), lit(0.0))).as("row"))
   }
 }

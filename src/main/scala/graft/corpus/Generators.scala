@@ -61,4 +61,34 @@ object Generators {
       16, 10).cast("long"), lit(1000000L))
     pairs.filter(coin < math.round(p * 1e6))
   }
+
+  /**
+   * Multiple RMAT edge lists in one tagged frame — reference multi_rmat
+   * (`/root/reference/python/cugraph/cugraph/generators/rmat.py:343`:
+   * n graphs with scales drawn from [minScale, maxScale], uniform
+   * size distribution). Scales and per-graph seeds are pure functions
+   * of (seed, graph index) via splitmix64, so generation stays
+   * splittable across any partitioning; each graph's edges come from
+   * one `spark.range` over its edge indices (no driver
+   * materialization). Returns (graph_id, src, dst).
+   */
+  def multiRmat(
+      spark: SparkSession,
+      nGraphs: Int,
+      minScale: Int,
+      maxScale: Int,
+      edgeFactor: Int,
+      seed: Long): DataFrame = {
+    require(nGraphs > 0 && minScale <= maxScale && minScale > 0)
+    import spark.implicits._
+    (0 until nGraphs).map { i =>
+      val scale = minScale + Math.floorMod(
+        Rmat.mix64(seed ^ (i + 1L)), (maxScale - minScale + 1).toLong).toInt
+      val gseed = Rmat.mix64(seed + i)
+      spark.range((1L << scale) * edgeFactor).map { idx =>
+        val (s, d) = Rmat.edge(gseed, idx, scale)
+        (i, s, d)
+      }.toDF("graph_id", "src", "dst")
+    }.reduce(_ union _)
+  }
 }

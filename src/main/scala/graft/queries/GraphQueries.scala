@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.algos.{Betweenness, Bfs, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, ForceAtlas2, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TraversedCost, TriangleCount}
+import graft.algos.{Betweenness, Bfs, Bipartite, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, ForceAtlas2, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TraversedCost, TriangleCount}
 import graft.core.LinkGraph
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
@@ -559,6 +559,52 @@ object GraphQueries {
       val adj = chainGraph(s, dir).edges
         .groupBy(col(SRC).as(ID)).agg(collect_list(col(DST)).as("nbrs"))
       LinkGraph.fromAdjList(adj, ID, "nbrs").edges.select(SRC, DST)
+    }),
+
+    "q_adj_roundtrip" -> ((s, dir) => {
+      // Dense-adjacency converter round trip (reference
+      // from/to_pandas_adjacency, convert_matrix.py:337,368): the
+      // weighted chain graph projected into a 128-vertex id space
+      // (pmod — keeps the matrix V^2-bounded at every SF), exported as
+      // a dense row-per-vertex matrix, re-imported, and compared as an
+      // edge list. Projection collisions dedupe to min weight — the
+      // same rule symmetrize pins.
+      val g = weightedChainGraph(s, dir)
+      val proj = g.edges.select(
+        pmod(col(SRC), lit(128L)).as(SRC),
+        pmod(col(DST), lit(128L)).as(DST), col(WEIGHT))
+      val pg = LinkGraph(proj, directed = true,
+        s.sessionState.conf.numShufflePartitions)
+      val dense = LinkGraph.toDenseAdjacency(pg, maxVertices = 128)
+      LinkGraph.fromDenseAdjacency(dense, ID, "row")
+        .edges.select(SRC, DST, WEIGHT)
+    }),
+
+    "q_is_bipartite" -> ((s, dir) => {
+      // Real 2-colorability (reference is_bipartite is a stub,
+      // graph_classes.py:529-538) via the bipartite double cover — one
+      // WCC pass per graph. Two instances: the chain graph (odd cycles
+      // expected) and the 8x5 grid (bipartite by construction, but
+      // COMPUTED here and by the oracle, not asserted).
+      import s.implicits._
+      val chain = Bipartite.check(chainGraph(s, dir))
+      val grid = Bipartite.check(LinkGraph(
+        Generators.grid2d(s, 8, 5).withColumn(WEIGHT, lit(1.0)),
+        directed = true, s.sessionState.conf.numShufflePartitions))
+      Seq(("chain", chain.isBipartite, chain.merged),
+        ("grid", grid.isBipartite, grid.merged))
+        .toDF("g", "bipartite", "merged")
+    }),
+
+    "q_path_offsets" -> ((s, dir) => {
+      // Coalesced-path offset retrieval (reference rw_path,
+      // random_walks.py:107): per-path vertex/weight offsets over a
+      // deterministic variable-size frame — each chain vertex's
+      // out-degree stands in for its walk length, so the result is
+      // reproducible by a plain SQL window without unrolling walks.
+      val sizes = chainGraph(s, dir).degreeTable
+        .select(col(ID).as("path_id"), col("out_degree").as("size"))
+      RandomWalks.pathOffsets(sizes)
     }),
 
     "q_core_number_out" -> ((s, dir) => {
@@ -1357,6 +1403,80 @@ object GraphQueries {
     // Adjacency-list round trip is identity on the chain edges.
     "q_from_adjlist" -> s"""$CHAIN
       |SELECT src, dst FROM edges""".stripMargin,
+
+    // Bipartiteness via the double cover: one min-label CC over vertex
+    // copies 2v / 2v+1 with edges lifted across parities; a vertex's
+    // copies sharing a component == an odd cycle through it. Two
+    // instances (chain + 8x5 grid) in one result.
+    "q_is_bipartite" -> s"""$CHAIN, ccov AS (
+      |  SELECT src * 2 AS s, dst * 2 + 1 AS d FROM edges
+      |  UNION ALL SELECT src * 2 + 1, dst * 2 FROM edges
+      |),
+      |cverts AS (SELECT DISTINCT s AS v FROM ccov),
+      |ccc(v, comp) AS (
+      |  SELECT v, v FROM cverts
+      |  UNION
+      |  SELECT e.d, ccc.comp FROM ccc JOIN ccov e ON ccc.v = e.s
+      |  WHERE ccc.comp < e.d
+      |),
+      |ccomp AS MATERIALIZED (SELECT v, min(comp) AS comp FROM ccc GROUP BY v),
+      |cmerged AS (
+      |  SELECT count(*) AS m FROM ccomp a JOIN ccomp b
+      |    ON b.v = a.v + 1 AND a.v % 2 = 0 AND a.comp = b.comp
+      |),
+      |gedges0 AS (
+      |  SELECT CAST(i AS BIGINT) AS src, CAST(i + 1 AS BIGINT) AS dst
+      |  FROM generate_series(0, 39) t(i) WHERE i % 5 < 4
+      |  UNION ALL
+      |  SELECT CAST(i AS BIGINT), CAST(i + 5 AS BIGINT)
+      |  FROM generate_series(0, 39) t(i) WHERE i // 5 < 7
+      |),
+      |gedges AS (
+      |  SELECT src, dst FROM gedges0 UNION ALL SELECT dst, src FROM gedges0
+      |),
+      |gcov AS (
+      |  SELECT src * 2 AS s, dst * 2 + 1 AS d FROM gedges
+      |  UNION ALL SELECT src * 2 + 1, dst * 2 FROM gedges
+      |),
+      |gverts AS (SELECT DISTINCT s AS v FROM gcov),
+      |gcc(v, comp) AS (
+      |  SELECT v, v FROM gverts
+      |  UNION
+      |  SELECT e.d, gcc.comp FROM gcc JOIN gcov e ON gcc.v = e.s
+      |  WHERE gcc.comp < e.d
+      |),
+      |gcomp AS MATERIALIZED (SELECT v, min(comp) AS comp FROM gcc GROUP BY v),
+      |gmerged AS (
+      |  SELECT count(*) AS m FROM gcomp a JOIN gcomp b
+      |    ON b.v = a.v + 1 AND a.v % 2 = 0 AND a.comp = b.comp
+      |)
+      |SELECT 'chain' AS g, (m = 0) AS bipartite, CAST(m AS BIGINT) AS merged
+      |FROM cmerged
+      |UNION ALL
+      |SELECT 'grid', (m = 0), CAST(m AS BIGINT) FROM gmerged"""
+      .stripMargin.replace("WITH pairs", "WITH RECURSIVE pairs"),
+
+    // Dense-adjacency round trip == the mod-128 projection of the
+    // min-quantity symmetrized pairs (min is associative, so one flat
+    // GROUP BY over both directions equals symmetrize-then-project).
+    "q_adj_roundtrip" -> s"""$CHAIN, bidir AS (
+      |  SELECT u, v, q FROM pairs
+      |  UNION ALL SELECT v AS u, u AS v, q FROM pairs
+      |)
+      |SELECT u % 128 AS src, v % 128 AS dst, min(q) AS weight
+      |FROM bidir GROUP BY 1, 2""".stripMargin,
+
+    "q_path_offsets" -> s"""$CHAIN,
+      |deg AS (SELECT src AS path_id, count(*) AS sz FROM edges GROUP BY src)
+      |SELECT path_id,
+      |  CAST(coalesce(sum(sz) OVER (ORDER BY path_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS vertex_offsets,
+      |  CAST(sz - 1 AS BIGINT) AS weight_sizes,
+      |  CAST(coalesce(sum(sz - 1) OVER (ORDER BY path_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |    AS BIGINT) AS weight_offsets
+      |FROM deg""".stripMargin,
 
     "q_mst" -> mstSql(rounds = 12),
     "q_mst_max" -> mstSql(rounds = 12, maximum = true),

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.algos.{Bipartite, Hungarian}
+import graft.core.LinkGraph
+
+class BipartiteSpec extends SparkSpec {
+
+  private def undirected(pairs: (Long, Long)*): LinkGraph =
+    graphOf(pairs.flatMap(p =>
+      Seq((p._1, p._2, 1.0), (p._2, p._1, 1.0))))
+
+  test("even cycle is bipartite, odd cycle is not") {
+    val c4 = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L))
+    assert(Bipartite.check(c4) == Bipartite.Result(true, 0L))
+    val c5 = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L))
+    val r = Bipartite.check(c5)
+    assert(!r.isBipartite && r.merged == 5L) // every C5 vertex is on the odd cycle
+  }
+
+  test("self-loop breaks bipartiteness on its own") {
+    val g = graphOf(Seq((0L, 1L, 1.0), (1L, 0L, 1.0), (2L, 2L, 1.0)))
+    val r = Bipartite.check(g)
+    assert(!r.isBipartite && r.merged == 1L)
+  }
+
+  test("merged is per-component: odd component counted, even not") {
+    // component A: square (bipartite); component B: triangle (odd)
+    val g = undirected((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L),
+      (10L, 11L), (11L, 12L), (12L, 10L))
+    val r = Bipartite.check(g)
+    assert(!r.isBipartite && r.merged == 3L)
+  }
+
+  test("directed input is symmetrized before the check") {
+    // single-direction triangle: still an odd cycle undirected
+    val g = graphOf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0)))
+    assert(!Bipartite.check(g).isBipartite)
+  }
+
+  test("isMultigraph reflects parallel edges in the data") {
+    val s = spark
+    import s.implicits._
+    val multi = LinkGraph(Seq((0L, 1L, 1.0), (0L, 1L, 2.0))
+      .toDF("src", "dst", "weight"), directed = true, 2)
+    assert(multi.isMultigraph)
+    val simple = LinkGraph(Seq((0L, 1L, 1.0), (1L, 0L, 2.0))
+      .toDF("src", "dst", "weight"), directed = true, 2)
+    assert(!simple.isMultigraph)
+  }
+}
+
+class DenseHungarianSpec extends SparkSpec {
+  test("assignDense equals assign on the exploded cost matrix") {
+    val s = spark
+    import s.implicits._
+    val dense = Seq(
+      (0L, Seq(4.0, 1.0, 3.0)),
+      (1L, Seq(2.0, 0.0, 5.0)),
+      (2L, Seq(3.0, 2.0, 2.0))).toDF("id", "row")
+    val sparse = dense.select(col("id"),
+        posexplode(col("row")).as(Seq("j", "cost")))
+    val a = Hungarian.assignDense(dense, "id", "row")
+    val b = Hungarian.assign(sparse)
+    assert(a.totalCost == b.totalCost)
+    assert(a.assignments.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      == b.assignments.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+    assert(a.totalCost == 5.0) // 0->1 (1), 1->0 (2), 2->2 (2)
+  }
+}

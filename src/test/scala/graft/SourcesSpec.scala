@@ -92,3 +92,87 @@ class AdjListSpec extends SparkSpec {
     assert(got == edges)
   }
 }
+
+class DenseAdjacencySpec extends SparkSpec {
+
+  test("toDenseAdjacency emits a full V-row matrix with zeros for non-edges") {
+    val g = graphOf(Seq((0L, 2L, 3.5), (2L, 0L, 1.0), (1L, 1L, 2.0)))
+    val rows = LinkGraph.toDenseAdjacency(g).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L))
+    assert(rows(0L) == Seq(0.0, 0.0, 3.5))
+    assert(rows(1L) == Seq(0.0, 2.0, 0.0)) // self-loop on the diagonal
+    assert(rows(2L) == Seq(1.0, 0.0, 0.0))
+  }
+
+  test("isolated trailing ids get an all-zero row; multi-edges take min") {
+    val s = spark
+    import s.implicits._
+    // vertices 1 and 2 never appear in an edge: they still get rows.
+    val e = Seq((0L, 3L, 2.0), (0L, 3L, 5.0)).toDF("src", "dst", "weight")
+    val g = LinkGraph(e, directed = true, 4)
+    val rows = LinkGraph.toDenseAdjacency(g).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(rows.size == 4)
+    assert(rows(0L) == Seq(0.0, 0.0, 0.0, 2.0)) // min of the parallel pair
+    assert(rows(1L) == Seq(0.0, 0.0, 0.0, 0.0))
+    assert(rows(2L) == Seq(0.0, 0.0, 0.0, 0.0))
+  }
+
+  test("fromDenseAdjacency(toDenseAdjacency) round-trips the edge list") {
+    val edges = loadFixture("karate")
+    val g = graphOf(edges)
+    val dense = LinkGraph.toDenseAdjacency(g)
+    val back = LinkGraph.fromDenseAdjacency(dense, "id", "row")
+    val got = back.edges.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == edges.toSet)
+  }
+
+  test("toDenseAdjacency refuses graphs past maxVertices (V^2 guard)") {
+    val g = graphOf(Seq((0L, 99L, 1.0)))
+    val ex = intercept[IllegalArgumentException] {
+      LinkGraph.toDenseAdjacency(g, maxVertices = 10)
+    }
+    assert(ex.getMessage.contains("maxVertices"))
+  }
+}
+
+class MultiRmatSpec extends SparkSpec {
+
+  test("multiRmat is deterministic and respects the scale envelope") {
+    val a = Generators.multiRmat(spark, nGraphs = 3, minScale = 4,
+      maxScale = 6, edgeFactor = 4, seed = 42L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    val b = Generators.multiRmat(spark, nGraphs = 3, minScale = 4,
+      maxScale = 6, edgeFactor = 4, seed = 42L)
+      .repartition(7).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    assert(a == b) // splittable counter draws: partitioning-independent
+    val byGraph = a.groupBy(_._1)
+    assert(byGraph.keySet == Set(0, 1, 2))
+    byGraph.foreach { case (_, rows) =>
+      // |E| = 2^scale * edgeFactor for some scale in [4, 6], and every
+      // endpoint fits the graph's own 2^scale vertex space.
+      val scale = (4 to 6).find(s => rows.size == (1L << s) * 4)
+      assert(scale.isDefined, s"edge count ${rows.size} not 2^s*4")
+      val n = 1L << scale.get
+      assert(rows.forall(r => r._2 >= 0 && r._2 < n && r._3 >= 0 && r._3 < n))
+    }
+  }
+
+  test("each member graph equals the single-rmat stream for its derived seed") {
+    import graft.corpus.Rmat
+    val got = Generators.multiRmat(spark, nGraphs = 2, minScale = 4,
+      maxScale = 5, edgeFactor = 2, seed = 7L).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (g, rows) =>
+        g -> rows.map(r => (r._2, r._3)).toSeq.sorted
+      }
+    (0 until 2).foreach { i =>
+      val scale = 4 + Math.floorMod(Rmat.mix64(7L ^ (i + 1L)), 2L).toInt
+      val want = Rmat.edges(Rmat.mix64(7L + i), scale, 2).sorted
+      assert(got(i) == want)
+    }
+  }
+}

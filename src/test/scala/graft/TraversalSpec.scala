@@ -56,6 +56,83 @@ class SsspSpec extends SparkSpec {
   }
 }
 
+class SsspUtilSpec extends SparkSpec {
+  test("filterUnreachable drops dtype-max sentinel rows only") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((0L, 0.0), (1L, 3.5), (2L, Double.MaxValue))
+      .toDF("id", "distance")
+    val kept = Sssp.filterUnreachable(df).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L))
+    val ints = Seq((0L, 5), (1L, Int.MaxValue)).toDF("id", "distance")
+    assert(Sssp.filterUnreachable(ints).collect().map(_.getLong(0)).toSet
+      == Set(0L))
+    intercept[IllegalArgumentException] {
+      Sssp.filterUnreachable(Seq((0L, "x")).toDF("id", "distance"))
+    }
+  }
+
+  test("shortestPathLength: per-target row, empty when unreachable") {
+    val g = graphOf(Seq((0L, 1L, 2.0), (1L, 2L, 3.0), (5L, 6L, 1.0)))
+    val all = Sssp.shortestPathLength(g, 0L).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(all == Map(0L -> 0.0, 1L -> 2.0, 2L -> 5.0))
+    val one = Sssp.shortestPathLength(g, 0L, Some(2L)).collect()
+    assert(one.length == 1 && one.head.getDouble(1) == 5.0)
+    assert(Sssp.shortestPathLength(g, 0L, Some(6L)).isEmpty)
+  }
+}
+
+class PathOffsetsSpec extends SparkSpec {
+  test("offsets equal the single-window reference at any partitioning") {
+    val s = spark
+    import s.implicits._
+    // path ids deliberately sparse + unordered in the input
+    val sizes = Seq((7L, 4L), (2L, 1L), (9L, 3L), (4L, 2L), (11L, 5L))
+      .toDF("path_id", "size")
+    val want = Seq( // exclusive prefix sums in path_id order
+      (2L, 0L, 0L, 0L), (4L, 1L, 1L, 0L), (7L, 3L, 3L, 1L),
+      (9L, 7L, 2L, 4L), (11L, 10L, 4L, 6L))
+    for (p <- Seq(1, 3, 8)) {
+      val got = RandomWalks.pathOffsets(sizes.repartition(5), numPartitions = p)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSeq.sortBy(_._1)
+      assert(got == want, s"numPartitions=$p")
+    }
+  }
+
+  test("empty input yields an empty offsets frame") {
+    val s = spark
+    import s.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("path_id", "size")
+    assert(RandomWalks.pathOffsets(empty).isEmpty)
+  }
+
+  test("offsets of real variable-length walks index the coalesced dump") {
+    // Walks from a graph with dead-ends terminate early => variable
+    // sizes; offsets must tile [0, total vertices) without overlap.
+    val g = graphOf(Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (3L, 0L, 1.0)))
+    val s = spark
+    import s.implicits._
+    val starts = Seq(0L, 2L, 3L).toDF("id")
+    val walks = RandomWalks.run(g, starts,
+      RandomWalks.Config(length = 3, seed = 1L))
+    val sizes = walks.groupBy(col("start").as("path_id"))
+      .agg(count(lit(1)).as("size"))
+    val off = RandomWalks.pathOffsets(sizes).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    val sz = sizes.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    var (accV, accW) = (0L, 0L)
+    off.foreach { case (pid, voff, wsz, woff) =>
+      assert(voff == accV && woff == accW && wsz == sz(pid) - 1)
+      accV += sz(pid); accW += sz(pid) - 1
+    }
+    assert(accV == sz.values.sum)
+  }
+}
+
 class RandomWalksSpec extends SparkSpec {
   test("walks are deterministic, follow edges, and have full length") {
     val s = spark
