@@ -80,6 +80,24 @@ object Louvain {
   def run(g0: LinkGraph, cfg: Config = Config()): Result =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0, cfg))
 
+  /** Flatten a per-level dendrogram (level 0 first, each level's ids =
+   * the previous level's community ids) to original-id → final
+   * community — the reference's standalone `flatten_dendrogram`
+   * (`/root/reference/cpp/include/cugraph/algorithms.hpp:610-633`).
+   * Same fold [[run]] maintains incrementally; exposed for callers
+   * that post-process a retained dendrogram (e.g. cut it at an
+   * intermediate level by passing a prefix of the frames). */
+  def flattenDendrogram(levels: Seq[DataFrame]): DataFrame = {
+    require(levels.nonEmpty, "empty dendrogram")
+    levels.tail.foldLeft(levels.head) { (flat, lvl) =>
+      flat.join(
+          lvl.select(col(ID).as("__c"), col("community").as("__nc"))
+            .hint("shuffle_hash"),
+          flat("community") === col("__c"))
+        .select(flat(ID), col("__nc").as("community"))
+    }
+  }
+
   private def runImpl(g0: LinkGraph, cfg: Config): Result = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     if (g0.edges.isEmpty) return Result(g0.spark.emptyDataFrame, -1.0, 0)

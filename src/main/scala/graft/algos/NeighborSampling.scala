@@ -42,6 +42,21 @@ object NeighborSampling {
     graft.core.SparkTuning.withoutAqe(g0.spark)(
       runImpl(g0, seeds, fanouts, seed))
 
+  /** Adjacency-list output form — the reference's
+   * `sample_neighbors_adjacency_list` (vs the edge-list form above;
+   * `/root/reference/cpp/include/cugraph/algorithms.hpp:1620-1650`):
+   * the same sample grouped per (hop, src) into a sorted neighbor
+   * array. Arrays are bounded by that hop's fanout, so the collect
+   * is skew-safe by construction. */
+  def sampleAdjacency(
+      g0: LinkGraph,
+      seeds: DataFrame,
+      fanouts: Seq[Int],
+      seed: Long = 42L): DataFrame =
+    run(g0, seeds, fanouts, seed)
+      .groupBy(col("hop"), col(SRC))
+      .agg(sort_array(collect_list(col(DST))).as("nbrs"))
+
   private def runImpl(
       g0: LinkGraph,
       seeds: DataFrame,

@@ -349,4 +349,22 @@ class SamplingYSpec extends SparkSpec {
       assert(rows.size <= (if (hop == 1) 3 else 2))
     }
   }
+
+  test("sampleAdjacency is the edge-list sample grouped per (hop, src)") {
+    val edges = loadFixture("karate").map(e => (e._1, e._2)).toSet
+    val g = graphOf(edges.toSeq.map(e => (e._1, e._2, 1.0)))
+    val s = spark
+    import s.implicits._
+    val seeds = Seq(0L, 1L, 2L).toDF("id")
+    val flat = NeighborSampling.run(g, seeds, Seq(3, 2), 42L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+      .map { case (k, rows) => k -> rows.map(_._3).toSeq.sorted }
+    val adj = NeighborSampling.sampleAdjacency(g, seeds, Seq(3, 2), 42L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getSeq[Long](2).toSeq)
+      .toMap
+    assert(adj == flat)
+    assert(adj.values.forall(_.size <= 3)) // bounded by the hop fanout
+  }
 }

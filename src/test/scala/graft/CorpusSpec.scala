@@ -20,6 +20,29 @@ class RmatSpec extends SparkSpec {
     val deg = es.groupBy(_._1).map(_._2.size)
     assert(deg.max > 10 * (es.size / 1024.0))
   }
+
+  test("clip_and_flip puts every edge in the lower triangle (src >= dst)") {
+    val es = Rmat.edges(42L, 8, 8, clipAndFlip = true)
+    assert(es.forall { case (s, d) => s >= d })
+    // Draw stream shared with the directed mode: the flip only mirrors
+    // upper-triangle steps, so lower-triangle edges match exactly.
+    val plain = Rmat.edges(42L, 8, 8)
+    es.zip(plain).foreach { case ((cs, cd), (ps, pd)) =>
+      if (ps >= pd) assert((cs, cd) == (ps, pd))
+    }
+  }
+
+  test("scramble is a permutation of [0, 2^lgN) and deterministic") {
+    for (lgN <- Seq(8, 12)) {
+      val n = 1L << lgN
+      val img = (0L until n).map(Rmat.scramble(_, lgN))
+      assert(img.forall(v => v >= 0 && v < n))
+      assert(img.distinct.size == n.toInt) // bijective
+      assert(img != (0L until n)) // actually permutes
+    }
+    assert(Rmat.scramble(12345L, 20) == Rmat.scramble(12345L, 20))
+    intercept[IllegalArgumentException](Rmat.scramble(256L, 8))
+  }
 }
 
 class ExtractorSpec extends SparkSpec {

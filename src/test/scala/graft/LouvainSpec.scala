@@ -57,6 +57,12 @@ class LouvainSpec extends SparkSpec {
     }
     val want = r.labels.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
     assert(flat == want)
+    // The standalone flatten_dendrogram API computes the same fold.
+    if (r.dendrogram.nonEmpty) {
+      val api = Louvain.flattenDendrogram(r.dendrogram).collect()
+        .map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(api == want)
+    }
     // Default config retains nothing.
     assert(Louvain.run(g).dendrogram.isEmpty)
   }
