@@ -119,6 +119,42 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("pathOffsets windows ride the range-partition column, never global") {
+    // The two-phase prefix sum must keep every window partitioned by
+    // __pid (a range partition of bounded size); a window over the
+    // whole frame (one task holds every path) has no __pid column.
+    import spark.implicits._
+    val sizes = (0L until 1000L).map(i => (i, i % 7 + 1)).toDF("path_id", "size")
+    val out = graft.algos.RandomWalks.pathOffsets(sizes, numPartitions = 4)
+    graft.core.SparkTuning.withoutAqe(spark) {
+      out.count()
+      val windows = out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      windows.foreach { w =>
+        assert(w.child.output.map(_.name).contains("__pid"),
+          s"global window in pathOffsets:\n$w")
+      }
+    }
+  }
+
+  test("fromDenseAdjacency explodes partition-locally: zero exchanges") {
+    // The V^2 cell volume must exist only inside the scan stage — the
+    // nonzero filter runs before any shuffle, so the edge list (not
+    // the matrix) is what moves.
+    import spark.implicits._
+    val dense = Seq(
+      (0L, Seq(0.0, 1.0, 2.0)),
+      (1L, Seq(3.0, 0.0, 0.0)),
+      (2L, Seq(0.0, 0.0, 4.0))).toDF("id", "row")
+    val g = LinkGraph.fromDenseAdjacency(dense, "id", "row")
+    graft.core.SparkTuning.withoutAqe(spark) {
+      g.edges.count()
+      assert(exchanges(g.edges) == 0,
+        g.edges.queryExecution.executedPlan.toString)
+    }
+  }
+
   test("core-number round body: one exchange for histogram+fold+update") {
     val g = cachedGraph()
     g.edges.count()
