@@ -354,6 +354,17 @@ object GraphQueries {
       Bfs.run(g, Seq(root))
     }),
 
+    "q_bfs_limited" -> ((s, dir) => {
+      // depth_limit semantics (reference bfs/bfs_edges depth_limit,
+      // traversal/bfs.py:264-283): stop after 2 levels — a BINDING cap
+      // (the chain graph's giant component sits within 3 hops of the
+      // root, so a depth-3 limit would be a no-op); only vertices
+      // within distance 2 are labeled, same min-predecessor rule.
+      val g = chainGraph(s, dir)
+      val root = g.edges.agg(min(col(SRC))).head().getLong(0)
+      Bfs.run(g, Seq(root), Bfs.Config(maxDepth = 2))
+    }),
+
     "q_core_number" -> ((s, dir) =>
       CoreNumber.run(chainGraph(s, dir))),
 
@@ -1030,6 +1041,26 @@ object GraphQueries {
       |  UNION
       |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
       |  WHERE d.dist < 60
+      |),
+      |dmin AS (SELECT v, CAST(min(dist) AS BIGINT) AS distance FROM d GROUP BY v)
+      |SELECT dm.v AS id, dm.distance,
+      |  CASE WHEN dm.v = (SELECT r FROM root) THEN dm.v
+      |       ELSE (SELECT min(e.src) FROM edges e
+      |             JOIN dmin d2 ON d2.v = e.src
+      |             WHERE e.dst = dm.v AND d2.distance = dm.distance - 1)
+      |  END AS predecessor
+      |FROM dmin dm""".stripMargin,
+
+    // Same BFS with the recursion capped at depth 2: level-synchronous
+    // min-distances within the cap equal the uncapped ones, so the
+    // truncated CTE is exact.
+    "q_bfs_limited" -> s"""${recChain},
+      |root AS (SELECT min(src) AS r FROM edges),
+      |d(v, dist) AS (
+      |  SELECT r, 0 FROM root
+      |  UNION
+      |  SELECT e.dst, d.dist + 1 FROM d JOIN edges e ON d.v = e.src
+      |  WHERE d.dist < 2
       |),
       |dmin AS (SELECT v, CAST(min(dist) AS BIGINT) AS distance FROM d GROUP BY v)
       |SELECT dm.v AS id, dm.distance,
