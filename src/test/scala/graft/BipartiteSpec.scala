@@ -39,6 +39,41 @@ class BipartiteSpec extends SparkSpec {
     assert(!Bipartite.check(g).isBipartite)
   }
 
+  test("matches a host BFS 2-coloring on 40 random graphs") {
+    // Mix of shapes: sparse ER (often forests => bipartite) and denser
+    // ER (odd cycles almost surely); host oracle colors by BFS parity
+    // per component and checks for a same-color edge.
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 40) {
+      val n = 3 + rnd.nextInt(12)
+      val dense = trial % 2 == 0
+      val pairs = for {
+        u <- 0 until n; v <- (u + 1) until n
+        if rnd.nextDouble() < (if (dense) 0.35 else 0.12)
+      } yield (u.toLong, v.toLong)
+      if (pairs.nonEmpty) {
+        val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+          .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+        var color = Map.empty[Long, Int]
+        var ok = true
+        for (s <- adj.keys.toSeq.sorted if !color.contains(s)) {
+          color += s -> 0
+          var q = List(s)
+          while (q.nonEmpty) {
+            val v = q.head; q = q.tail
+            for (w <- adj(v)) {
+              if (!color.contains(w)) { color += w -> (1 - color(v)); q ::= w }
+              else if (color(w) == color(v)) ok = false
+            }
+          }
+        }
+        val g = undirected(pairs: _*)
+        assert(Bipartite.check(g).isBipartite == ok,
+          s"trial $trial n=$n pairs=$pairs")
+      }
+    }
+  }
+
   test("isMultigraph reflects parallel edges in the data") {
     val s = spark
     import s.implicits._
