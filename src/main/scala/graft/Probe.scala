@@ -52,6 +52,36 @@ object Probe {
   }
 }
 
+/** Bipartiteness scale probe: Bipartite.check (one WCC over the
+ * 2x-edge double cover) vs plain WCC on the same symmetrized RMAT
+ * graph — evidences that the test rides the WCC scale path at ~2x
+ * its cost. Usage: runMain graft.BipartiteProbe [scale] [cpus]. */
+object BipartiteProbe {
+  def main(args: Array[String]): Unit = {
+    val scale = args.headOption.map(_.toInt).getOrElse(18)
+    val cpus = args.lift(1).map(_.toInt).getOrElse(32)
+    val s = Bench.newSession(cpus.toString)
+    import s.implicits._
+    val edges = s.range((1L << scale) * 16)
+      .map(i => graft.corpus.Rmat.edge(42L, i, scale))
+      .toDF("src", "dst")
+    val g = LinkGraph.fromEdges(edges, "src", "dst",
+      numPartitions = cpus).symmetrize.cached()
+    val e = g.numEdges
+    graft.algos.ConnectedComponents.run(g).components.count() // warmup
+    val t0 = System.nanoTime()
+    graft.algos.ConnectedComponents.run(g).components.count()
+    val wccSec = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val r = graft.algos.Bipartite.check(g)
+    val bipSec = (System.nanoTime() - t1) / 1e9
+    println(f"BIPARTITE scale=$scale edges=$e wcc=$wccSec%.2fs " +
+      f"bipartite=$bipSec%.2fs ratio=${bipSec / wccSec}%.2f " +
+      f"result=${r.isBipartite} merged=${r.merged}")
+    s.stop()
+  }
+}
+
 /** Direction-optimization probe: BFS wall-clock push-only vs auto
  * (push/pull) on a symmetrized RMAT graph, where the middle
  * supersteps' frontier covers most vertices. Usage:
