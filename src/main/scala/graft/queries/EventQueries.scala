@@ -30,6 +30,12 @@ object EventQueries {
         columns = Seq("user_id", "event_type"), eventId = "event_id",
         direct = true).edges),
 
+    "q_events_sessions" -> ((s, dir) =>
+      // Per-user activity sessions, 8-hour inactivity gap (~median
+      // per-user event spacing, so the gap BINDS: real merging, not
+      // one session per event or per user).
+      EventStream.sessionize(s.read.parquet(s"$dir/events.parquet"))),
+
     "q_events_user_top" -> ((s, dir) => {
       val e = s.read.parquet(s"$dir/events.parquet")
       e.groupBy("user_id")
@@ -64,6 +70,29 @@ object EventQueries {
         |  count(*) AS n,
         |  CAST(round(sum(value) * 1e6, 0) AS BIGINT) AS sum_value_micro
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // Lag-based reconstruction of session_window semantics: a new
+    // session starts when the gap since the previous event is >= the
+    // 8-hour threshold (Spark merges strictly-inside events only).
+    "q_events_sessions" ->
+      """WITH o AS (
+        |  SELECT user_id, epoch_us(ts) AS tus, value,
+        |    CASE WHEN lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts)) IS NULL
+        |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY epoch_us(ts))
+        |           >= 28800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events
+        |), s AS (
+        |  SELECT user_id, tus, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY tus
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |)
+        |SELECT user_id, min(tus) AS session_start_us,
+        |  max(tus) AS session_end_us, count(*) AS n,
+        |  CAST(round(sum(value) * 1e6, 0) AS BIGINT) AS sum_value_micro
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q_events_user_top" ->
       """SELECT user_id, count(*) AS n,

@@ -47,6 +47,35 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("event_id")
 
+  /** Per-user sessionization via the native merging session-window
+   * aggregation — the training-pipeline op that groups a user's events
+   * into activity sessions separated by >= `gap` of silence. Spark's
+   * `session_window` merges an event into the open session iff its
+   * timestamp lands strictly before session_end = last_ts + gap, i.e.
+   * a new session starts exactly when the gap is >= `gap` — the SQL
+   * oracle reconstructs the same grouping with a lag-based running
+   * flag sum. Chosen over a per-user ORDER BY window in our own code:
+   * the built-in session aggregation is a merging (partial-combinable)
+   * operator, not a single-task sort of a mega-user's history.
+   * Output: (user_id, session_start_us, session_end_us, n,
+   * sum_value_micro); timestamps exported as epoch micros so the hash
+   * compare is timezone- and float-proof. */
+  def sessionize(events: DataFrame, gap: String = "8 hours"): DataFrame = {
+    val ts = events.withColumn("ts", col("ts").cast("timestamp"))
+    // Streaming session windows need an event-time watermark to bound
+    // state; batch mode must NOT carry one (it would be a no-op node).
+    val src = if (ts.isStreaming) ts.withWatermark("ts", "1 hour") else ts
+    src
+      .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+      .agg(
+        min(unix_micros(col("ts"))).as("session_start_us"),
+        max(unix_micros(col("ts"))).as("session_end_us"),
+        count(lit(1)).as("n"),
+        round(sum(col("value")) * 1e6, 0).cast("long").as("sum_value_micro"))
+      .select("user_id", "session_start_us", "session_end_us", "n",
+        "sum_value_micro")
+  }
+
   final case class UserAgg(user_id: Long, n: Long, total: Double, last_ts: Timestamp)
 
   /** Custom streaming state: running per-user event count/total via

@@ -75,6 +75,27 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: identical sessions on batch and stream input") {
+    val batch = spark.read.parquet(s"$sfDir/events.parquet")
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4))
+    val want = EventStream.sessionize(batch).collect().map(key).toMap
+    assert(want.nonEmpty && want.size < batch.count())
+    assert(want.exists(_._2._2 > 1)) // the 8h gap actually merges events
+
+    val stream = spark.readStream.schema(batch.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(eventsDir)
+    val q = EventStream.sessionize(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sessions").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("sessions").collect().map(key).toMap
+      assert(got == want)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState per-user running aggregate") {
     val batch = spark.read.parquet(s"$sfDir/events.parquet")
     val stream = spark.readStream.schema(batch.schema)
