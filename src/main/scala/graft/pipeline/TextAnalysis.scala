@@ -80,4 +80,53 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       md5(trim(regexp_replace(lower(col(textCol)), "\\s+", " "))).as("fp"))
+
+  /**
+   * Repetition metrics (the Gopher/Dolma-style quality filters that
+   * catch boilerplate and degenerate generations): per document, the
+   * fraction of token BIGRAMS occupied by the single most frequent
+   * bigram (`top_bigram_micro`) and the fraction of token TRIGRAMS
+   * that are repeats of an earlier one (`dup_trigram_micro`), both as
+   * exact integer micros. N-grams are built with slice/zip_with (pure
+   * codegen'd expressions); the counting is two (id, gram) hash
+   * aggregations — map-side combinable, no windows, no UDFs, so a
+   * boilerplate-heavy shard costs one combine pass, not a sort.
+   */
+  def repetition(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def microDiv(n: Column, d: Column): Column = {
+      val num = n * 1000000L
+      val den = greatest(d, lit(1L))
+      ((num - pmod(num, den)) / den).cast("long")
+    }
+    def grams(k: Int): Column = {
+      val ts = filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")
+      val m = size(ts) - (k - 1)
+      val parts = (1 to k).map(i => slice(ts, lit(i), m))
+      val joined = parts.reduceLeft((acc, nxt) =>
+        zip_with(acc, nxt, (a, b) => concat(a, lit(" "), b)))
+      when(m >= 1, joined).otherwise(array())
+    }
+    val base = docs.select(col(idCol).as("__id"),
+      explode_outer(grams(2)).as("bg"))
+    val bstat = base.groupBy("__id", "bg").count()
+      .groupBy("__id").agg(
+        sum(when(col("bg").isNotNull, col("count")).otherwise(0L))
+          .as("n_bigrams"),
+        max(when(col("bg").isNotNull, col("count")).otherwise(0L))
+          .as("top_bg"))
+    val tstat = docs.select(col(idCol).as("__id"),
+        explode_outer(grams(3)).as("tg"))
+      .groupBy("__id", "tg").count()
+      .groupBy("__id").agg(
+        sum(when(col("tg").isNotNull, col("count")).otherwise(0L))
+          .as("n_trigrams"),
+        sum(when(col("tg").isNotNull, col("count") - 1).otherwise(0L))
+          .as("dup_tg"))
+    bstat.join(tstat, Seq("__id"))
+      .select(col("__id").as(idCol),
+        col("n_bigrams"),
+        microDiv(col("top_bg"), col("n_bigrams")).as("top_bigram_micro"),
+        col("n_trigrams"),
+        microDiv(col("dup_tg"), col("n_trigrams")).as("dup_trigram_micro"))
+  }
 }

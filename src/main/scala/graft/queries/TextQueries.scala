@@ -43,6 +43,11 @@ object TextQueries {
     "q_doc_langid" -> ((s, dir) =>
       TextAnalysis.langId(docs(s, dir), "doc_id", "text")),
 
+    "q_doc_repetition" -> ((s, dir) =>
+      // Gopher/Dolma-style repetition filters: top-bigram occupancy +
+      // duplicate-trigram fraction per doc, exact integer micros.
+      TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
+
     "q_doc_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
 
@@ -182,6 +187,45 @@ object TextQueries {
         |       WHEN s_en >= s_fr THEN 'en'
         |       ELSE 'fr' END AS lang_pred
         |FROM s""".stripMargin,
+
+    // Token n-grams via zipped unnest + generate_subscripts; bigrams/
+    // trigrams from lead() over the per-doc token order.
+    "q_doc_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS tok,
+        |    generate_subscripts(list_filter(
+        |      string_split_regex(lower(text), '\s+'), x -> x <> ''), 1) AS ord
+        |  FROM documents
+        |),
+        |bg AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok) OVER (PARTITION BY doc_id ORDER BY ord) AS g
+        |  FROM tk QUALIFY g IS NOT NULL
+        |),
+        |bgc AS (SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2),
+        |bstat AS (SELECT doc_id, sum(c) AS n_bg, max(c) AS top
+        |          FROM bgc GROUP BY 1),
+        |tg AS (
+        |  SELECT doc_id,
+        |    tok || ' ' || lead(tok, 1) OVER w || ' ' || lead(tok, 2) OVER w AS g
+        |  FROM tk WINDOW w AS (PARTITION BY doc_id ORDER BY ord)
+        |  QUALIFY g IS NOT NULL
+        |),
+        |tgc AS (SELECT doc_id, g, count(*) AS c FROM tg GROUP BY 1, 2),
+        |tstat AS (SELECT doc_id, sum(c) AS n_tg, sum(c - 1) AS dup
+        |          FROM tgc GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(b.n_bg, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(coalesce(b.top, 0) * 1000000
+        |    // greatest(coalesce(b.n_bg, 0), 1) AS BIGINT) AS top_bigram_micro,
+        |  CAST(coalesce(t.n_tg, 0) AS BIGINT) AS n_trigrams,
+        |  CAST(coalesce(t.dup, 0) * 1000000
+        |    // greatest(coalesce(t.n_tg, 0), 1) AS BIGINT) AS dup_trigram_micro
+        |FROM documents d
+        |LEFT JOIN bstat b ON b.doc_id = d.doc_id
+        |LEFT JOIN tstat t ON t.doc_id = d.doc_id""".stripMargin,
 
     "q_doc_simhash" -> simhashSql,
 

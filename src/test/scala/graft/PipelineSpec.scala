@@ -205,6 +205,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got == Map(0L -> "en", 1L -> "de", 2L -> "fr", 3L -> "unk"))
   }
 
+  test("repetition metrics: hand-computed n-gram fractions") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a b a b a b"), // bigrams: ab,ba,ab,ba,ab -> top 3/5;
+                           // trigrams: aba,bab,aba,bab -> dup 2/4
+      (1L, "x y z"),       // 2 distinct bigrams, 1 trigram, no repeats
+      (2L, "solo"),        // no bigrams/trigrams at all
+      (3L, ""))            // empty text
+      .toDF("doc_id", "text")
+    val r = TextAnalysis.repetition(d, "doc_id", "text").collect()
+      .map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(0L) == (5L, 600000L, 4L, 500000L))
+    assert(r(1L) == (2L, 500000L, 1L, 0L))
+    assert(r(2L) == (0L, 0L, 0L, 0L))
+    assert(r(3L) == (0L, 0L, 0L, 0L))
+  }
+
   test("fingerprint collapses case and whitespace") {
     val s = spark
     import s.implicits._
