@@ -48,6 +48,21 @@ object TextQueries {
       // duplicate-trigram fraction per doc, exact integer micros.
       TextAnalysis.repetition(docs(s, dir), "doc_id", "text")),
 
+    "q_doc_quota" -> ((s, dir) => {
+      // Source-balancing quota sample: at most 10 docs per source,
+      // picked by the deterministic md5 rank — the same bounded min-k
+      // aggregation neighbor sampling uses, so a source with 10^9 docs
+      // costs O(quota) per task, never a per-source sort. Binding at
+      // every SF (sources hold 25 docs each).
+      val d = docs(s, dir)
+      d.select(col("source"), col("doc_id"),
+          md5(concat_ws(":", lit(42), col("doc_id"))).as("k"))
+        .groupBy("source")
+        .agg(graft.functions.BoundedMinK.smallestK(10)(
+          col("k"), col("doc_id")).as("picks"))
+        .select(col("source"), explode(col("picks")).as("doc_id"))
+    }),
+
     "q_doc_simhash" -> ((s, dir) =>
       Dedup.simhash(docs(s, dir), "doc_id", "text")),
 
@@ -187,6 +202,14 @@ object TextQueries {
         |       WHEN s_en >= s_fr THEN 'en'
         |       ELSE 'fr' END AS lang_pred
         |FROM s""".stripMargin,
+
+    "q_doc_quota" ->
+      """SELECT source, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5('42:' || CAST(doc_id AS VARCHAR))) AS rn
+        |  FROM documents
+        |) t WHERE rn <= 10""".stripMargin,
 
     // Token n-grams via zipped unnest + generate_subscripts; bigrams/
     // trigrams from lead() over the per-doc token order.
