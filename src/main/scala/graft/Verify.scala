@@ -25,6 +25,9 @@ object Verify {
     // where their static SQL expects it.
     if (SparkEntry.oracleSql.keys.exists(k => k.startsWith("q_web_") && selected(k)))
       graft.queries.WebQueries.dumpCorpus(spark)
+    // Same pattern for the multi-RMAT batch statistics oracle.
+    if (selected("q_multi_rmat"))
+      graft.queries.GraphQueries.dumpMultiRmat(spark)
     SparkEntry.queries.foreach { case (name, fn) =>
       if (selected(name)) {
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

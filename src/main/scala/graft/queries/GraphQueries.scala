@@ -143,6 +143,21 @@ object GraphQueries {
         s.sessionState.conf.numShufflePartitions)
     }
 
+  /** Where Verify dumps the multi-RMAT batch for the q_multi_rmat
+   * DuckDB oracle (same pattern as WebQueries.CorpusDumpDir: the
+   * oracle recomputes the per-graph statistics from the dumped
+   * generator frame; the generator itself is certified by
+   * MultiRmatSpec's equality with the host Rmat stream). */
+  val MultiRmatDumpDir = "/root/repo/target/verify_corpus/multirmat"
+
+  private def multiRmatBatch(s: SparkSession): DataFrame =
+    Generators.multiRmat(s, nGraphs = 3, minScale = 4, maxScale = 6,
+      edgeFactor = 4, seed = 42L)
+
+  def dumpMultiRmat(s: SparkSession): Unit =
+    multiRmatBatch(s).coalesce(1).write.mode("overwrite")
+      .parquet(MultiRmatDumpDir)
+
   /** Materialize the memoized graphs (Bench calls this before timing
    * queries so per-query numbers measure the algorithm, not the
    * shared derivation). */
@@ -589,6 +604,16 @@ object GraphQueries {
       val dense = LinkGraph.toDenseAdjacency(pg, maxVertices = 128)
       LinkGraph.fromDenseAdjacency(dense, ID, "row")
         .edges.select(SRC, DST, WEIGHT)
+    }),
+
+    "q_multi_rmat" -> ((s, dir) => {
+      // Per-graph shape statistics of the 3-graph RMAT batch: edge
+      // count, distinct-edge count, vertex-space bound. The oracle
+      // recomputes them from the Verify-dumped frame.
+      multiRmatBatch(s).groupBy("graph_id").agg(
+        count(lit(1)).as("n_edges"),
+        countDistinct(col("src"), col("dst")).as("n_distinct_edges"),
+        max(greatest(col("src"), col("dst"))).as("max_vertex"))
     }),
 
     "q_is_bipartite" -> ((s, dir) => {
@@ -1434,6 +1459,13 @@ object GraphQueries {
     // Adjacency-list round trip is identity on the chain edges.
     "q_from_adjlist" -> s"""$CHAIN
       |SELECT src, dst FROM edges""".stripMargin,
+
+    "q_multi_rmat" -> s"""SELECT graph_id,
+      |  count(*) AS n_edges,
+      |  count(DISTINCT (src, dst)) AS n_distinct_edges,
+      |  max(greatest(src, dst)) AS max_vertex
+      |FROM read_parquet('$MultiRmatDumpDir/*.parquet')
+      |GROUP BY graph_id""".stripMargin,
 
     // Bipartiteness via the double cover: one min-label CC over vertex
     // copies 2v / 2v+1 with edges lifted across parities; a vertex's
