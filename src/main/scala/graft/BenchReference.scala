@@ -1,0 +1,58 @@
+package graft
+
+/**
+ * Committed per-query reference seconds (sf0.1, local[32]) used by
+ * [[Bench]]'s end-of-sweep outlier arbitration: a query whose best-of-2
+ * exceeds 2x its reference here gets a third timing pass at sweep END,
+ * when the contended window that inflated both in-sweep passes has
+ * usually moved on (round 4 recorded q_ktruss at 110.5 s inside one
+ * contended window; an idle-host probe on the identical plan measured
+ * 39.5 s — see BENCH.md).
+ *
+ * Values are the round-4 recorded artifact where available, else the
+ * committed full-sweep replica medians from BENCH.md. Only queries
+ * expected over ~3 s matter — anything absent falls back to an
+ * absolute 45 s rerun cap. Update per round alongside BENCH.md.
+ */
+object BenchReference {
+  val seconds: Map[String, Double] = Map(
+    "q_ktruss" -> 36.0,
+    "q_core_number_out" -> 26.8,
+    "q_triangles" -> 24.0,
+    "q_ecg" -> 24.0,
+    "q_core_number" -> 21.0,
+    "q_core_number_in" -> 21.0,
+    "q_leiden" -> 19.0,
+    "q_louvain" -> 19.0,
+    "q_spectral_k" -> 19.0,
+    "q_spectral_mod" -> 17.6,
+    "q_edge_betweenness" -> 16.6,
+    "q_betweenness" -> 16.0,
+    "q_scc" -> 15.3,
+    "q_spectral" -> 14.4,
+    "q_mst_max" -> 14.5,
+    "q_mst" -> 13.0,
+    "q_force_atlas2" -> 13.3,
+    "q_is_bipartite" -> 9.0,
+    "q_traversed_cost" -> 8.5,
+    "q_extract_paths" -> 8.3,
+    "q_hits" -> 8.0,
+    "q_node2vec" -> 7.5,
+    "q_ms_bfs" -> 7.6,
+    "q_pagerank" -> 7.5,
+    "q_pagerank_top10" -> 7.3,
+    "q_pagerank_personalized" -> 7.2,
+    "q_pagerank_weighted" -> 6.5,
+    "q_lpa" -> 6.7,
+    "q_eigenvector" -> 6.2,
+    "q_katz" -> 5.9,
+    "q_wcc" -> 5.3,
+    "q_pg_stats" -> 5.3,
+    "q_embed_ann_ivf" -> 5.1,
+    "q_doc_dedup_groups" -> 4.8,
+    "q_biased_walks" -> 4.7,
+    "q_web_triangles" -> 12.0,
+    "q_sssp" -> 7.0,
+    "q_bfs" -> 7.0
+  )
+}
