@@ -71,9 +71,41 @@ final class BoundedMinK(k: Int)
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
 }
 
+/**
+ * [[BoundedMinK]] variant that keeps the ordering keys in the output:
+ * the k smallest (key, v) pairs per group as an array of structs in
+ * (key asc, v asc) order. Used where the consumer needs BOTH the rank
+ * (array position) and a value encoded in the key — e.g. the ANN
+ * top-k re-rank, where key = zero-padded (1e6 − cos_micro) so array
+ * order is (cos_micro desc, neighbor_id asc) and cos_micro is
+ * recovered from the key. Same O(k)-per-group buffer and map-side
+ * combine as the base aggregator.
+ */
+final class BoundedMinKPairs(k: Int)
+    extends Aggregator[KeyedValue, Seq[KeyedValue], Seq[KeyedValue]] {
+  private val inner = new BoundedMinK(k)
+  override def zero: Seq[KeyedValue] = inner.zero
+  override def reduce(b: Seq[KeyedValue], x: KeyedValue): Seq[KeyedValue] =
+    inner.reduce(b, x)
+  override def merge(a: Seq[KeyedValue], b: Seq[KeyedValue]): Seq[KeyedValue] =
+    inner.merge(a, b)
+  override def finish(buf: Seq[KeyedValue]): Seq[KeyedValue] = buf
+  override def bufferEncoder: Encoder[Seq[KeyedValue]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedValue]]()
+  override def outputEncoder: Encoder[Seq[KeyedValue]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedValue]]()
+}
+
 object BoundedMinK {
   /** Column function: smallestK(keyCol, valueCol) -> array<long> of the
    * payloads of the k smallest (key, value) pairs per group. */
   def smallestK(k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     org.apache.spark.sql.functions.udaf(new BoundedMinK(k))
+
+  /** Column function: smallestKPairs(keyCol, valueCol) ->
+   * array<struct<key:string,v:long>> of the k smallest pairs per
+   * group in (key asc, v asc) order. */
+  def smallestKPairs(
+      k: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udaf(new BoundedMinKPairs(k))
 }

@@ -1,8 +1,9 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedMinK
 
 /**
  * Similarity search over an embedding column (array<float>).
@@ -40,6 +41,32 @@ object Ann {
   private def dotCol(x: Column, y: Column): Column = aggregate(
     zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
+  /**
+   * Bounded top-k re-rank: (query_id, neighbor_id, cos_micro) →
+   * (query_id, neighbor_id, cos_micro, rank 1..k) ordered by
+   * (cos_micro desc, neighbor_id asc) per query.
+   *
+   * NOT a `row_number()` window: a window partitioned by query_id
+   * sorts a query's ENTIRE candidate set in one task — at corpus
+   * scale an IVF probe bucket or LSH bucket is a corpus fraction, so
+   * that task is unbounded. The [[BoundedMinK]] pairs aggregator
+   * keeps O(k) per group with map-side combine; the ordering key is
+   * the zero-padded (1e6 − cos_micro) ∈ [0, 2e6] (7 digits, so
+   * lexicographic == numeric) with neighbor_id as the ascending
+   * tie-break — the exact order the oracles pin.
+   */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val key = lpad((lit(1000000L) - col("cos_micro")).cast("string"), 7, "0")
+    scored
+      .groupBy("query_id")
+      .agg(BoundedMinK.smallestKPairs(k)(key, col("neighbor_id"))
+        .as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "kv")))
+      .select(col("query_id"), col("kv.v").as("neighbor_id"),
+        (lit(1000000L) - col("kv.key").cast("long")).as("cos_micro"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   def cosineTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int,
@@ -69,10 +96,7 @@ object Ann {
       .select(col("query_id"), col("neighbor_id"),
         round(dotCol(col("qe"), col("ce")) / (col("qn") * col("cn")) * 1e6, 0)
           .cast("long").as("cos_micro"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k)
   }
 
   /** Deterministic hyperplane component for (seed, plane, dim) ∈ {-1,+1}.
@@ -132,14 +156,11 @@ object Ann {
       .select("query_id", "qe", "neighbor_id", "ce")
       .distinct()
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    candidates
-      .select(col("query_id"), col("neighbor_id"),
+    topKPerQuery(
+      candidates.select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")) * 1e6, 0).cast("long")
-          .as("cos_micro"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+          .as("cos_micro")),
+      k)
   }
 
   /**
@@ -188,32 +209,33 @@ object Ann {
       .agg(max("key").as("pick"))
       .select(col("neighbor_id"), (-col("pick.nc")).as("centroid_id"))
 
-    // Probe set per query: `probes` nearest centroids (window over the
-    // nCentroids-bounded per-query score rows — a design constant).
+    // Probe set per query: `probes` nearest centroids. Bounded min-k
+    // (not a window) for plan uniformity with the re-rank — the group
+    // is nCentroids-bounded either way, but this keeps the whole ANN
+    // path window-free (asserted by AnnPlanShapeSpec).
     val q = queries.select(col(idCol).as("query_id"),
       asDouble(col(embCol)).as("qe"))
-    val wq = Window.partitionBy("query_id")
-      .orderBy(col("cm").desc, col("centroid_id").asc)
+    val probeKey = lpad((lit(1000000L) - col("cm")).cast("string"), 7, "0")
     val qProbes = q.crossJoin(broadcast(centroids))
       .select(col("query_id"), col("qe"), col("centroid_id"),
         cm(col("qe")).as("cm"))
-      .withColumn("pr", row_number().over(wq))
-      .filter(col("pr") <= probes)
-      .select("query_id", "qe", "centroid_id")
+      .groupBy("query_id")
+      .agg(first("qe").as("qe"),
+        BoundedMinK.smallestKPairs(probes)(probeKey, col("centroid_id"))
+          .as("pk"))
+      .select(col("query_id"), col("qe"),
+        explode(col("pk").getField("v")).as("centroid_id"))
 
     val candidates = qProbes
       .join(assign, Seq("centroid_id"))
       .join(c, Seq("neighbor_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
 
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_micro").desc, col("neighbor_id").asc)
-    candidates
-      .select(col("query_id"), col("neighbor_id"),
+    topKPerQuery(
+      candidates.select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qe"), col("ce")) * 1e6, 0).cast("long")
-          .as("cos_micro"))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= k)
+          .as("cos_micro")),
+      k)
   }
 
   /** Near-duplicate pairs by cosine threshold within a blocking column.

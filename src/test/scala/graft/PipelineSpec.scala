@@ -167,6 +167,28 @@ class AnnSpec extends SparkSpec {
       maxQueries = -1).count() > 0)
   }
 
+  test("ANN paths execute no rank window: bounded min-k only") {
+    // The per-query re-rank must stay an O(k)-per-group aggregation:
+    // a row_number() window partitioned by query_id puts a query's
+    // ENTIRE candidate set (a probe/LSH bucket = corpus fraction at
+    // scale) in one task. Pin every ANN variant window-free.
+    val q = emb.filter(col("vec_id") < 5)
+    val plans = Seq(
+      Ann.cosineTopK(emb, q, "vec_id", "embedding", 5),
+      Ann.lshCosineTopK(emb, q, "vec_id", "embedding", 5,
+        tables = 2, planes = 4),
+      Ann.ivfCosineTopK(emb, q, "vec_id", "embedding", 5,
+        nCentroids = 8, probes = 2))
+    plans.foreach { df =>
+      df.count() // finalize executedPlan (AQE)
+      val windows = df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"rank window in ANN plan:\n${df.queryExecution.executedPlan}")
+    }
+  }
+
   test("nearDupPairs sub-bucketing keeps same-bucket exactness") {
     val all = Ann.nearDupPairs(emb, "vec_id", "embedding", "label", 800000L)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
