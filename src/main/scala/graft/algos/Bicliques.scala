@@ -1,8 +1,9 @@
 package graft.algos
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.core.DenseRank
 
 /**
  * Top-k maximal-biclique heuristic over a bipartite edge list —
@@ -32,10 +33,12 @@ import org.apache.spark.sql.functions._
  *    order-independent and overflow-free; paired with the degree it
  *    replaces the reference's src-set merge equality check
  *    (`bicliques.py:199-208`) with a deterministic set hash.
- *  - the skip-if-same-as-last rule and one-up ids are lag/row_number
- *    windows over the FEATURE SUMMARY (|F| rows, edges never pass
- *    through a window) — the same |F|-sized list the reference sorts
- *    and iterates on the host.
+ *  - the skip-if-same-as-last rule and one-up ids ride [[DenseRank]]
+ *    (range-partition + per-partition offsets) plus a self-join on
+ *    rn−1 — NO global window: the feature summary is
+ *    vocabulary-sized at corpus scale and a global
+ *    `row_number()/lag over (order by …)` funnels it through one
+ *    task.
  *  - candidate sets C(f) for every surviving feature come from ONE
  *    self-join on the machine key (co-occurrence counts), restricted
  *    to features that can still emit (kept, deg >= minMachines). Skew
@@ -55,8 +58,11 @@ object Bicliques {
       maxIter: Int = -1,
       support: Double = 1.0,
       minFeatures: Int = 1,
-      minMachines: Int = 10): Result = {
+      minMachines: Int = 10,
+      maxMachineDegree: Int = 0): Result = {
     require(support > 0.0 && support <= 1.0, "support must be in (0, 1]")
+    val numPartitions =
+      edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
 
     // Distinct (src, dst) with a deterministic flag (reference input
     // contract: one row per bipartite edge, flag marks bad machines).
@@ -76,12 +82,22 @@ object Bicliques {
 
     // Visit order (reference f_list sort, tie-broken by dst for
     // determinism), maxIter cap, skip-if-same-machine-set-as-last.
-    val order = Window.orderBy(col("deg").desc, col("dst").asc)
-    val ordered = feat
-      .withColumn("rn", row_number().over(order))
+    // The rank is DenseRank (range-partition + per-partition offsets),
+    // NOT a global `row_number() over (order by …)` window — the
+    // feature summary is vocabulary-sized on a doc×token lift (10^7+
+    // distinct features at corpus scale) and a global window funnels
+    // all of it through one task. The previous row's (deg, fp) comes
+    // from a self-join on rn−1 (unique key, no skew) instead of `lag`
+    // over the same global window.
+    val ranked = DenseRank.assign(feat,
+      Seq(col("deg").desc, col("dst").asc), numPartitions, "rn0")
+      .withColumn("rn", col("rn0") + 1).drop("rn0")
+    val prev = ranked.select((col("rn") + 1).as("rn"),
+      col("deg").as("prev_deg"), col("fp").as("prev_fp"))
+    val ordered = ranked.join(prev, Seq("rn"), "left")
       .withColumn("same_as_last",
-        col("deg") === lag("deg", 1).over(order) &&
-          col("fp") === lag("fp", 1).over(order))
+        col("deg") === col("prev_deg") && col("fp") === col("prev_fp"))
+      .drop("prev_deg", "prev_fp")
     val capped =
       if (maxIter >= 0) ordered.filter(col("rn") <= maxIter) else ordered
     val kept = capped
@@ -93,10 +109,26 @@ object Bicliques {
     // C(f) via co-occurrence: |M(f) ∩ M(f')| for every kept f.
     // kept can be |F|-sized — a plain equi-join (AQE broadcasts it
     // when it is in fact small), unlike the k-row topK probes below.
-    val left = e.select(col("dst").as("f"), col("src"))
+    // Fanout bound: the machine-key join below blows up as (features
+    // per machine)² — a mega-degree machine (a doc containing 10^6
+    // distinct tokens on a doc×token lift) alone produces 10^12
+    // pairs. `maxMachineDegree > 0` drops such machines from the
+    // co-occurrence count (approximation knob, default off = exact
+    // reference semantics; the reference's host loop implicitly
+    // assumes the small-|M(f)| regime, bicliques.py:105-146).
+    val eCooc =
+      if (maxMachineDegree <= 0) e
+      else {
+        val mdeg = e.groupBy(col("src"))
+          .agg(count(lit(1)).as("__mdeg"))
+          .filter(col("__mdeg") <= maxMachineDegree)
+          .select(col("src"))
+        e.join(mdeg, Seq("src"))
+      }
+    val left = eCooc.select(col("dst").as("f"), col("src"))
       .join(kept.select("f"), Seq("f"))
     val cooc = left
-      .join(e.select(col("src"), col("dst").as("f2")), Seq("src"))
+      .join(eCooc.select(col("src"), col("dst").as("f2")), Seq("src"))
       .groupBy(col("f"), col("f2")).agg(count(lit(1)).as("shared"))
     val candRows = cooc.join(kept, Seq("f"))
       .filter(col("shared") >=
@@ -107,10 +139,12 @@ object Bicliques {
       .agg(count(lit(1)).as("n_feat"))
       .filter(col("n_feat") > minFeatures)
 
-    // One-up ids in visit order over the emitted features only.
-    val emitOrder = Window.orderBy(col("rn").asc)
-    val withId = perF.withColumn("id",
-      (row_number().over(emitOrder) - 1).cast("int"))
+    // One-up ids in visit order over the emitted features only —
+    // DenseRank again (rn is unique, so the order is total); the
+    // emitted set can be as large as the kept set when k < 0.
+    val withId = DenseRank.assign(perF, Seq(col("rn").asc),
+      numPartitions, "id0")
+      .withColumn("id", col("id0").cast("int")).drop("id0")
     val topK = (if (k >= 0) withId.filter(col("id") < k) else withId)
       .select(col("f"), col("id"), col("deg"), col("bad"), col("n_feat"))
 

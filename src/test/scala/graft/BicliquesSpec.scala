@@ -64,4 +64,57 @@ class BicliquesSpec extends SparkSpec {
     val r2 = Bicliques.findBicliques(edges, minFeatures = 1, minMachines = 99)
     assert(r2.stats.count() == 0)
   }
+
+  test("no global window anywhere in the biclique plans") {
+    // The feature summary is vocabulary-sized at corpus scale: both
+    // ranking stages must ride DenseRank's __pid-partitioned windows,
+    // never a `over (order by …)` with an empty partition spec that
+    // funnels every feature through one task. Capture EVERY plan
+    // executed during the call (DenseRank materializes intermediates).
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit = {
+        val global = qe.executedPlan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+        }
+        if (global.nonEmpty) plans.add("GLOBAL_WINDOW:\n" + global.head)
+        plans.add("plan")
+      }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val r = Bicliques.findBicliques(edges, support = 0.75,
+        minFeatures = 1, minMachines = 3)
+      r.members.count(); r.stats.count()
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (plans.isEmpty && System.nanoTime() < deadline)
+        Thread.sleep(100)
+      Thread.sleep(500)
+      val bad = plans.toArray.map(_.toString).filter(_.startsWith("GLOBAL_WINDOW"))
+      assert(bad.isEmpty, bad.mkString("\n"))
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("maxMachineDegree caps the co-occurrence fanout") {
+    // support=0.2 -> goal(10) = int(5*0.2) = 1, so feature 12 (shared
+    // with 10 only through machine 5) makes it into C(10) uncapped.
+    val exact = Bicliques.findBicliques(edges, support = 0.2,
+      minFeatures = 1, minMachines = 3)
+    val exactFeats = exact.members.filter("id = 0 and type = 1")
+      .collect().map(_.getString(1)).toSet
+    assert(exactFeats.contains("12"), "uncapped run sees 12 via machine 5")
+    // cap=1 keeps only machine 6 (degree 1): machines 1-5 (degrees
+    // 3,3,3,3,2) are dropped from the pair counts, so no kept feature
+    // can reach its goal and nothing is emitted — the quadratic
+    // fanout of the dropped machines never happens.
+    val capped = Bicliques.findBicliques(edges, support = 0.2,
+      minFeatures = 1, minMachines = 3, maxMachineDegree = 1)
+    assert(capped.stats.count() == 0)
+  }
 }
