@@ -53,6 +53,10 @@ object BenchReference {
     "q_biased_walks" -> 4.7,
     "q_web_triangles" -> 12.0,
     "q_sssp" -> 7.0,
-    "q_bfs" -> 7.0
+    "q_bfs" -> 7.0,
+    // Round-5 additions (estimates from their substrates: the fold
+    // re-runs q_louvain's level, the utils re-run q_sssp).
+    "q_flatten_dendrogram" -> 20.0,
+    "q_sssp_utils" -> 8.0
   )
 }

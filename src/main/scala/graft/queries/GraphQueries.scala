@@ -334,6 +334,23 @@ object GraphQueries {
       r.labels
     }),
 
+    "q_flatten_dendrogram" -> ((s, dir) => {
+      // Standalone flatten_dendrogram fold (algorithms.hpp:610-633):
+      // level 0 is the real retained Louvain level (same config as
+      // q_louvain), levels 1-2 are deterministic coarsenings of the
+      // community id space — so the 3-level fold's joins all execute
+      // and the oracle stays expressible (community % 10 % 3).
+      val r = Louvain.run(chainGraph(s, dir),
+        Louvain.Config(maxLevels = 1, fixedInnerIter = 3,
+          keepDendrogram = true))
+      val l0 = r.dendrogram.head
+      val l1 = l0.select(col("community").as(ID)).distinct()
+        .select(col(ID), (col(ID) % 10).as("community"))
+      val l2 = l1.select(col("community").as(ID)).distinct()
+        .select(col(ID), (col(ID) % 3).as("community"))
+      Louvain.flattenDendrogram(Seq(l0, l1, l2))
+    }),
+
     "q_core2" -> ((s, dir) => {
       // Vertices surviving the 2-core peel of the chain graph.
       val core = TriangleCount.twoCore(chainGraph(s, dir))
@@ -431,6 +448,23 @@ object GraphQueries {
       Sssp.run(g, root)
     }),
 
+    "q_sssp_utils" -> ((s, dir) => {
+      // shortest_path_length + filter_unreachable (sssp.py:253-299):
+      // fill every vertex with the Double.MaxValue sentinel the
+      // reference uses for unreachable, then filterUnreachable must
+      // drop exactly the unreached component(s).
+      val g = weightedChainGraph(s, dir)
+      val root = g.edges.agg(min(col(SRC))).head().getLong(0)
+      val spl = Sssp.shortestPathLength(g, root)
+      val verts = g.edges.select(col(SRC).as(ID)).distinct()
+      val filled = verts.join(spl, Seq(ID), "left")
+        .select(col(ID),
+          coalesce(col("distance"), lit(Double.MaxValue)).as("distance"))
+      Sssp.filterUnreachable(filled)
+        .select(col(ID),
+          round(col("distance") * 1e6, 0).cast("long").as("dist_micro"))
+    }),
+
     "q_random_walks" -> ((s, dir) => {
       // Deterministic (md5-counter) uniform walks of length 4 from the
       // 10 smallest vertices.
@@ -526,6 +560,21 @@ object GraphQueries {
       val seeds = g.edges.select(col(SRC).as(ID)).distinct()
         .orderBy(col(ID)).limit(10)
       NeighborSampling.run(g, seeds, Seq(3, 2), seed = 42L)
+    }),
+
+    "q_adj_sample" -> ((s, dir) => {
+      // Adjacency-list output form of the same sample (reference
+      // sample_neighbors_adjacency_list, algorithms.hpp:1620-1650).
+      // The fanout-bounded per-(hop, src) arrays are exploded with
+      // their positions so the gate hash-compares scalars only.
+      val g = chainGraph(s, dir)
+      val seeds = g.edges.select(col(SRC).as(ID)).distinct()
+        .orderBy(col(ID)).limit(10)
+      NeighborSampling.sampleAdjacency(g, seeds, Seq(3, 2), seed = 42L)
+        .select(col("hop"), col(SRC),
+          posexplode(col("nbrs")).as(Seq("idx", "nbr")))
+        .select(col("hop"), col(SRC), col("idx").cast("long").as("idx"),
+          col("nbr"))
     }),
 
     "q_generators" -> ((s, dir) => {
@@ -813,6 +862,47 @@ object GraphQueries {
           col("assignment") * col("assignment") * 331 +
           col("vertex") * col("assignment") * 7919, lit(9973L)) + 1)
           .cast("long"))
+    }),
+
+    "q_dense_hungarian" -> ((s, dir) => {
+      // dense_hungarian (lap.py:98-150): the SAME 8x8 instance as
+      // q_hungarian but fed as one flat cost row per worker; the
+      // assignment comes back as the job's COLUMN INDEX 0..7 (the
+      // dense contract), so the optimum must agree with q_hungarian's
+      // modulo the index <-> supplier-key mapping. The 8-value job
+      // list is driver-collected fixture construction (like the
+      // 4-row source picks elsewhere), not an engine scan.
+      val jseq = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey").cast("long").as("j"))
+        .orderBy("j").limit(8).collect().map(_.getLong(0)).toSeq
+      val workers = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").cast("long").as("w"))
+        .orderBy("w").limit(8)
+      val rowArr = array(jseq.map { j =>
+        (pmod(col("w") * col("w") * 577 + lit(j * j) * 331 +
+          col("w") * lit(j) * 7919, lit(9973L)) + 1).cast("double")
+      }: _*)
+      val dense = workers.select(col("w"), rowArr.as("costs"))
+      val r = Hungarian.assignDense(dense, "w", "costs")
+      val jArr = typedLit(jseq)
+      val jOf = element_at(jArr, (col("assignment") + 1).cast("int"))
+      r.assignments.withColumn("edge_cost",
+        (pmod(col("vertex") * col("vertex") * 577 + jOf * jOf * 331 +
+          col("vertex") * jOf * 7919, lit(9973L)) + 1).cast("long"))
+    }),
+
+    "q_renumber_multi" -> ((s, dir) => {
+      // Multi-column renumber (number_map.py:327-500): composite
+      // (key % 50, key % 7) vertex identifiers over the raw chain
+      // pairs; the map must assign dense degree-descending ids with
+      // the key columns as tie-break.
+      val p = chainPairs(s, dir)
+      val ek = p.select(
+        (col("u") % 50).as("k1"), (col("u") % 7).as("k2"),
+        (col("v") % 50).as("d1"), (col("v") % 7).as("d2"))
+      graft.core.Renumber.buildMapMulti(ek, Seq("k1", "k2"),
+          Seq("d1", "d2"), s.sessionState.conf.numShufflePartitions)
+        .select(col("k1"), col("k2"), col("id"), col("degree"))
     }),
 
     "q_graph_stats" -> ((s, dir) => {
@@ -1107,50 +1197,15 @@ object GraphQueries {
       |SELECT src % 10 AS src, dst % 10 AS dst, sum(weight) AS weight
       |FROM sym GROUP BY src % 10, dst % 10""".stripMargin,
 
-    "q_sssp" -> s"""${recChain},
-      |directed AS (
-      |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
-      |), wedges AS (
-      |  SELECT src, dst, min(weight) AS weight FROM (
-      |    SELECT src, dst, weight FROM directed
-      |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
-      |  ) t GROUP BY src, dst
-      |),
-      |verts AS (SELECT DISTINCT src AS v FROM wedges),
-      |root AS (SELECT min(src) AS r FROM wedges),
-      |eplus AS (
-      |  SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM wedges
-      |  UNION ALL SELECT v, v, 0.0 FROM verts
-      |),
-      |sss(iter, v, dist, pred) AS (
-      |  SELECT 0, v,
-      |    CASE WHEN v = (SELECT r FROM root) THEN CAST(0.0 AS DOUBLE)
-      |         ELSE CAST(1e18 AS DOUBLE) END, v
-      |  FROM verts
-      |  UNION ALL
-      |  SELECT iter + 1, dst,
-      |    CASE WHEN best.d < cur.d THEN best.d ELSE cur.d END,
-      |    CASE WHEN best.d < cur.d THEN best.p ELSE cur.p END
-      |  FROM (
-      |    SELECT max(t.iter) AS iter, e.dst AS dst,
-      |      min(CASE WHEN e.w > 0
-      |            THEN struct_pack(d := t.dist + e.w, p := t.v) END) AS best,
-      |      min(CASE WHEN e.w = 0
-      |            THEN struct_pack(d := t.dist, p := t.pred) END) AS cur
-      |    FROM sss t JOIN eplus e ON t.v = e.src
-      |    -- Bound = 60 supersteps (same as q_bfs): Bellman-Ford needs
-      |    -- at most (weighted hop depth) rounds, measured 3 at sf0.01,
-      |    -- and the UNION-set recursion is NOT free past the fixpoint
-      |    -- (cyclic re-expansion makes each extra round a real join:
-      |    -- bound 200 cost 25 s at sf0.01, bound 60 costs 7.5 s with
-      |    -- value-identical output at both test SFs). The engine runs
-      |    -- to fixpoint; this only has to exceed the sf's hop depth.
-      |    WHERE t.iter < 60
-      |    GROUP BY e.dst
-      |  ) s
-      |)
-      |SELECT v AS id, dist AS distance, pred AS predecessor
-      |FROM sss WHERE iter = 60 AND dist < 1e17""".stripMargin,
+    "q_sssp" -> ssspSql(
+      "SELECT v AS id, dist AS distance, pred AS predecessor"),
+
+    // Drives filter_unreachable + shortest_path_length (reference
+    // sssp.py:253-281,299) through the gate: identical distance
+    // recursion, micro-rounded (id, dist) projection — the engine side
+    // goes through the sentinel-fill → filterUnreachable path.
+    "q_sssp_utils" -> ssspSql(
+      "SELECT v AS id, CAST(round(dist * 1e6, 0) AS BIGINT) AS dist_micro"),
 
     "q_random_walks" -> s"""${recChain},
       |adj AS (
@@ -1179,6 +1234,12 @@ object GraphQueries {
     "q_woverlap" -> weightedSimilaritySql("i / least(da, db)", "wovl_micro"),
 
     "q_louvain" -> louvainSql(3),
+
+    // Same level-0 labels as q_louvain, folded through the two
+    // deterministic coarsening levels the query synthesizes.
+    "q_flatten_dendrogram" -> louvainSql(3).replace(
+      "SELECT v AS id, lbl AS community FROM l3",
+      "SELECT v AS id, (lbl % 10) % 3 AS community FROM l3"),
     "q_betweenness" -> betweennessSql(levels = 4, k = 4),
     "q_edge_betweenness" -> edgeBetweennessSql(levels = 4, k = 4),
 
@@ -1411,6 +1472,37 @@ object GraphQueries {
       |SELECT CAST(1 AS BIGINT) AS hop, src, dst FROM h1
       |UNION ALL
       |SELECT CAST(2 AS BIGINT) AS hop, src, dst FROM h2""".stripMargin,
+
+    // Adjacency-list form: the same sample, position = rank of the
+    // neighbor inside its (hop, src) sorted array.
+    "q_adj_sample" -> s"""$CHAIN,
+      |starts AS (SELECT DISTINCT src AS v FROM edges ORDER BY v LIMIT 10),
+      |h1 AS (
+      |  SELECT e.src, e.dst FROM (
+      |    SELECT e.src, e.dst,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY md5('42:1:' || e.src || ':' || e.dst), e.dst) AS rk
+      |    FROM edges e JOIN starts s ON s.v = e.src
+      |  ) e WHERE rk <= 3
+      |),
+      |f2 AS (SELECT DISTINCT dst AS v FROM h1),
+      |h2 AS (
+      |  SELECT e.src, e.dst FROM (
+      |    SELECT e.src, e.dst,
+      |      row_number() OVER (PARTITION BY e.src
+      |        ORDER BY md5('42:2:' || e.src || ':' || e.dst), e.dst) AS rk
+      |    FROM edges e JOIN f2 s ON s.v = e.src
+      |  ) e WHERE rk <= 2
+      |),
+      |samp AS (
+      |  SELECT CAST(1 AS BIGINT) AS hop, src, dst FROM h1
+      |  UNION ALL SELECT CAST(2 AS BIGINT), src, dst FROM h2
+      |)
+      |SELECT hop, src,
+      |  CAST(row_number() OVER (PARTITION BY hop, src ORDER BY dst) - 1
+      |    AS BIGINT) AS idx,
+      |  dst AS nbr
+      |FROM samp""".stripMargin,
 
     // Simple generators: path 30, complete 8, star 10, 5x4 grid,
     // ER(40, p=0.15, seed 7) with the same md5 coin as the engine.
@@ -1817,6 +1909,65 @@ object GraphQueries {
       |    + wi.w*b.js[CAST(wi.k AS INT)]*7919) % 9973 + 1 AS BIGINT) AS edge_cost
       |FROM widx wi, best b""".stripMargin,
 
+    // dense_hungarian: identical DP, assignment reported as the job's
+    // dense column index (its rank among the 8 smallest suppliers).
+    "q_dense_hungarian" -> """WITH RECURSIVE workers AS (
+      |  SELECT CAST(p_partkey AS BIGINT) AS w FROM part
+      |  ORDER BY p_partkey LIMIT 8
+      |), jobs AS (
+      |  SELECT CAST(s_suppkey AS BIGINT) AS j FROM supplier
+      |  ORDER BY s_suppkey LIMIT 8
+      |), widx AS (
+      |  SELECT w, row_number() OVER (ORDER BY w) AS k FROM workers
+      |), jidx AS (
+      |  SELECT j, row_number() OVER (ORDER BY j) - 1 AS ji FROM jobs
+      |), costs AS (
+      |  SELECT w.w, ji.j, ji.ji,
+      |    CAST((w.w*w.w*577 + ji.j*ji.j*331 + w.w*ji.j*7919) % 9973 + 1
+      |      AS DOUBLE) AS cost
+      |  FROM workers w CROSS JOIN jidx ji
+      |), dp AS (
+      |  SELECT 0 AS k, CAST(0 AS BIGINT) AS mask, CAST(0 AS DOUBLE) AS tot,
+      |         CAST([] AS BIGINT[]) AS js
+      |  UNION ALL
+      |  SELECT d.k + 1, d.mask + (CAST(1 AS BIGINT) << c.ji), d.tot + c.cost,
+      |         list_append(d.js, c.j)
+      |  FROM dp d
+      |  JOIN widx w ON w.k = d.k + 1
+      |  JOIN costs c ON c.w = w.w
+      |   AND (d.mask & (CAST(1 AS BIGINT) << c.ji)) = 0
+      |), best AS (
+      |  SELECT js FROM dp WHERE k = (SELECT count(*) FROM workers)
+      |  ORDER BY tot LIMIT 1
+      |)
+      |SELECT wi.w AS vertex, CAST(ji.ji AS BIGINT) AS assignment,
+      |  CAST((wi.w*wi.w*577 + ji.j*ji.j*331 + wi.w*ji.j*7919) % 9973 + 1
+      |    AS BIGINT) AS edge_cost
+      |FROM widx wi CROSS JOIN best b
+      |JOIN jidx ji ON ji.j = b.js[CAST(wi.k AS INT)]""".stripMargin,
+
+    // Composite-key renumber: dense degree-descending ids, key-column
+    // ascending tie-break — the exact buildMapMulti order.
+    "q_renumber_multi" -> """WITH pairs AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey
+      |   AND b.l_linenumber = a.l_linenumber + 1
+      |   AND a.l_partkey <> b.l_partkey
+      |), occ AS (
+      |  SELECT CAST(u % 50 AS BIGINT) AS k1, CAST(u % 7 AS BIGINT) AS k2
+      |  FROM pairs
+      |  UNION ALL
+      |  SELECT CAST(v % 50 AS BIGINT), CAST(v % 7 AS BIGINT) FROM pairs
+      |), deg AS (
+      |  SELECT k1, k2, count(*) AS degree FROM occ GROUP BY k1, k2
+      |)
+      |SELECT k1, k2,
+      |  CAST(row_number() OVER (ORDER BY degree DESC, k1, k2) - 1
+      |    AS BIGINT) AS id,
+      |  degree
+      |FROM deg""".stripMargin,
+
     "q_graph_stats" -> """WITH raw AS (
       |  SELECT a.l_partkey AS src, b.l_partkey AS dst,
       |         CAST(a.l_quantity AS DOUBLE) AS weight
@@ -1840,6 +1991,54 @@ object GraphQueries {
 
   private def recChain: String =
     CHAIN.replace("WITH pairs", "WITH RECURSIVE pairs")
+
+  /** Shared SSSP distance recursion over the weighted chain graph;
+   * `finalSelect` projects from the converged `sss(iter, v, dist,
+   * pred)` frame (rows with dist >= 1e17 are unreachable). */
+  private def ssspSql(finalSelect: String): String = s"""${recChain},
+    |directed AS (
+    |  SELECT u AS src, v AS dst, min(q) AS weight FROM pairs GROUP BY u, v
+    |), wedges AS (
+    |  SELECT src, dst, min(weight) AS weight FROM (
+    |    SELECT src, dst, weight FROM directed
+    |    UNION ALL SELECT dst AS src, src AS dst, weight FROM directed
+    |  ) t GROUP BY src, dst
+    |),
+    |verts AS (SELECT DISTINCT src AS v FROM wedges),
+    |root AS (SELECT min(src) AS r FROM wedges),
+    |eplus AS (
+    |  SELECT src, dst, CAST(weight AS DOUBLE) AS w FROM wedges
+    |  UNION ALL SELECT v, v, 0.0 FROM verts
+    |),
+    |sss(iter, v, dist, pred) AS (
+    |  SELECT 0, v,
+    |    CASE WHEN v = (SELECT r FROM root) THEN CAST(0.0 AS DOUBLE)
+    |         ELSE CAST(1e18 AS DOUBLE) END, v
+    |  FROM verts
+    |  UNION ALL
+    |  SELECT iter + 1, dst,
+    |    CASE WHEN best.d < cur.d THEN best.d ELSE cur.d END,
+    |    CASE WHEN best.d < cur.d THEN best.p ELSE cur.p END
+    |  FROM (
+    |    SELECT max(t.iter) AS iter, e.dst AS dst,
+    |      min(CASE WHEN e.w > 0
+    |            THEN struct_pack(d := t.dist + e.w, p := t.v) END) AS best,
+    |      min(CASE WHEN e.w = 0
+    |            THEN struct_pack(d := t.dist, p := t.pred) END) AS cur
+    |    FROM sss t JOIN eplus e ON t.v = e.src
+    |    -- Bound = 60 supersteps (same as q_bfs): Bellman-Ford needs
+    |    -- at most (weighted hop depth) rounds, measured 3 at sf0.01,
+    |    -- and the UNION-set recursion is NOT free past the fixpoint
+    |    -- (cyclic re-expansion makes each extra round a real join:
+    |    -- bound 200 cost 25 s at sf0.01, bound 60 costs 7.5 s with
+    |    -- value-identical output at both test SFs). The engine runs
+    |    -- to fixpoint; this only has to exceed the sf's hop depth.
+    |    WHERE t.iter < 60
+    |    GROUP BY e.dst
+    |  ) s
+    |)
+    |$finalSelect
+    |FROM sss WHERE iter = 60 AND dist < 1e17""".stripMargin
 
   /** Unrolled ForceAtlas2 mirroring [[graft.algos.ForceAtlas2.run]]
    * with default Config on the 8-smallest-orders clique fixture:

@@ -75,7 +75,25 @@ object PropertyQueries {
     "q_pg_renumber" -> ((s, dir) =>
       build(s, dir).renumberVerticesByType()
         .select(col(VERTEX).as("vertex"), col(TYPE).as("vtype"),
-          col("new_id")))
+          col("new_id"))),
+
+    // GNN GraphStore feature fetch (graph_store.py:70,402): node
+    // features for an id set through the store facade — a key join
+    // with nulls for ids outside the type (the -1 probe row).
+    "q_store_fetch" -> ((s, dir) => {
+      val store = graft.gnn.GraphStore(build(s, dir))
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").cast("long").as("vertex"))
+        .orderBy("vertex").limit(20)
+        .union(Seq(-1L).toDF("vertex"))
+      store.getNodeStorage(ids, Seq("p_size", "p_retailprice"),
+          Some("part"))
+        .select(col(VERTEX).as("vertex"), col(TYPE).as("vtype"),
+          col("p_size"),
+          round(col("p_retailprice") * 1e6, 0).cast("long")
+            .as("price_micro"))
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -126,6 +144,19 @@ object PropertyQueries {
         |)
         |SELECT vertex, vtype,
         |  row_number() OVER (ORDER BY vtype, vertex) - 1 AS new_id
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    "q_store_fetch" ->
+      """WITH ids AS (
+        |  SELECT vertex FROM (
+        |    SELECT CAST(p_partkey AS BIGINT) AS vertex FROM part
+        |    ORDER BY p_partkey LIMIT 20) t
+        |  UNION ALL SELECT CAST(-1 AS BIGINT)
+        |)
+        |SELECT i.vertex,
+        |  CASE WHEN p.p_partkey IS NULL THEN NULL ELSE 'part' END AS vtype,
+        |  p.p_size AS p_size,
+        |  CAST(round(p.p_retailprice * 1e6, 0) AS BIGINT) AS price_micro
+        |FROM ids i LEFT JOIN part p ON p.p_partkey = i.vertex""".stripMargin
   )
 }
