@@ -64,7 +64,12 @@ object ForceAtlas2 {
       /** <= this many vertices: exact all-pairs repulsion. */
       exactThreshold: Long = 2048,
       /** grid resolution bound: G*G cells with G^2 <= maxCells. */
-      maxCells: Int = 1024)
+      maxCells: Int = 1024,
+      /** Cells holding more vertices than this leave the exact
+       * near-field join and act as centroids instead (see
+       * gridRepulsion) — bounds the 3x3 bucket join when positions
+       * collapse into few cells. */
+      maxCellOccupancy: Long = 1L << 16)
 
   private val EPS = 1e-9
 
@@ -231,7 +236,16 @@ object ForceAtlas2 {
 
   /** Grid-binned repulsion: far field against per-cell (mass,
    * centroid) aggregates carried as ONE broadcast array column; near
-   * field exact over the 3x3 cell neighborhood via a bucket join. */
+   * field exact over the 3x3 cell neighborhood via a bucket join.
+   *
+   * Occupancy guard: a cell holding more than cfg.maxCellOccupancy
+   * vertices (positions collapsed into few cells — the shape that
+   * would make the 3x3 bucket join quadratic) is EXCLUDED from the
+   * exact near-field join and instead acts on its 3x3 neighborhood
+   * as a centroid super-vertex, exactly like a far cell (own-cell
+   * contribution subtracts the vertex's own mass). Below the bound
+   * the arithmetic is bit-identical to the unguarded plan: the
+   * guard's extra aggregate terms multiply by a zero mass. */
   private def gridRepulsion(pos: DataFrame, cfg: Config): DataFrame = {
     val grid = math.max(2, math.sqrt(cfg.maxCells.toDouble).toInt)
     val bb = pos.agg(min("x"), max("x"), min("y"), max("y")).head()
@@ -247,36 +261,55 @@ object ForceAtlas2 {
     val cells = binned.groupBy("cx", "cy").agg(
       sum("m").as("cm"),
       (sum(col("m") * col("x")) / sum("m")).as("ccx"),
-      (sum(col("m") * col("y")) / sum("m")).as("ccy"))
+      (sum(col("m") * col("y")) / sum("m")).as("ccy"),
+      count(lit(1)).as("cnt"))
     val cellArr = broadcast(
       cells.agg(collect_list(struct(col("cx"), col("cy"),
-        col("cm"), col("ccx"), col("ccy"))).as("cells")))
+        col("cm"), col("ccx"), col("ccy"), col("cnt"))).as("cells")))
 
-    // Far field: every cell at Chebyshev distance > 1 acts as a super
-    // vertex at its centroid; aggregate() folds the array per row.
+    // Centroid field in ONE array pass per vertex: cells at Chebyshev
+    // distance > 1 always act as centroid super-vertices (far field);
+    // cells within the 3x3 neighborhood act as centroids ONLY when
+    // overfull (occupancy guard), with the vertex's own mass removed
+    // from its own cell's contribution. Everything else contributes
+    // an exact 0.0 here and is handled by the exact near join below.
     val far = binned.crossJoin(cellArr).select(col(ID), col("cx"), col("cy"),
       col("x"), col("y"), col("m"),
       aggregate(
-        filter(col("cells"), c =>
-          greatest(abs(c("cx") - col("cx")), abs(c("cy") - col("cy"))) > 1),
+        col("cells"),
         struct(lit(0.0).as("fx"), lit(0.0).as("fy")),
         (acc, c) => {
+          val cheby =
+            greatest(abs(c("cx") - col("cx")), abs(c("cy") - col("cy")))
+          val ownCell = c("cx") === col("cx") && c("cy") === col("cy")
+          val em = when(cheby > 1, c("cm"))
+            .when(c("cnt") > cfg.maxCellOccupancy,
+              when(ownCell, c("cm") - col("m")).otherwise(c("cm")))
+            .otherwise(lit(0.0))
           val xd = col("x") - c("ccx")
           val yd = col("y") - c("ccy")
           val d2 = xd * xd + yd * yd + lit(EPS)
           struct(
-            (acc("fx") + xd * lit(cfg.scalingRatio) * col("m") * c("cm") / d2).as("fx"),
-            (acc("fy") + yd * lit(cfg.scalingRatio) * col("m") * c("cm") / d2).as("fy"))
+            (acc("fx") + xd * lit(cfg.scalingRatio) * col("m") * em / d2).as("fx"),
+            (acc("fy") + yd * lit(cfg.scalingRatio) * col("m") * em / d2).as("fy"))
         }).as("ff"))
       .select(col(ID), col("ff.fx").as("px"), col("ff.fy").as("py"))
 
-    // Near field: exact pairs within the 3x3 neighborhood.
+    // Near field: exact pairs within the 3x3 neighborhood; overfull
+    // cells are represented by their centroid above, so they leave
+    // the join's build side and the per-bucket fanout stays bounded
+    // by 9 * maxCellOccupancy rows per probing vertex.
     val probes = binned.select(col(ID), col("x"), col("y"), col("m"),
         explode(sequence(col("cx") - 1, col("cx") + 1)).as("ncx"), col("cy"))
       .select(col(ID), col("x"), col("y"), col("m"), col("ncx"),
         explode(sequence(col("cy") - 1, col("cy") + 1)).as("ncy"))
+    val cellCnt = cells.select(col("cx").as("ncx"), col("cy").as("ncy"),
+      col("cnt"))
     val others = binned.select(col("cx").as("ncx"), col("cy").as("ncy"),
       col(ID).as("jid"), col("x").as("jx"), col("y").as("jy"), col("m").as("jm"))
+      .join(broadcast(cellCnt), Seq("ncx", "ncy"))
+      .filter(col("cnt") <= cfg.maxCellOccupancy)
+      .drop("cnt")
     val xd = col("x") - col("jx")
     val yd = col("y") - col("jy")
     val d2 = xd * xd + yd * yd + lit(EPS)

@@ -80,6 +80,37 @@ class ForceAtlas2Spec extends SparkSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("collapsed positions ride the occupancy guard and stay coherent") {
+    // All vertices start at ONE point -> the whole layout is one grid
+    // cell. With maxCellOccupancy below the count, that cell leaves
+    // the exact near-field join (whose fanout is quadratic in the
+    // cell's occupancy) and acts as a centroid super-vertex instead.
+    // The guard is an approximation above the bound (the centroid of
+    // n identical points differs from the point by float-sum ulps,
+    // amplified by the 1/EPS distance floor and fed into FA2's
+    // GLOBAL speed scalar), so the pin is behavioral: the run
+    // completes, every vertex stays co-located with every other
+    // (identical state => identical forces), positions are finite
+    // and within a small drift of the unguarded trajectory.
+    val n = 400L
+    val edges = (0L until n).map(i => (i, (i + 1) % n, 1.0))
+    val g = graphOf(edges)
+    val s = spark; import s.implicits._
+    val start = (0L until n).map(i => (i, 5.0, -3.0)).toDF("id", "x", "y")
+    val guarded = positions(ForceAtlas2.run(g,
+      Config(maxIter = 2, exactThreshold = 0, maxCellOccupancy = 16),
+      Some(start)))
+    val unguarded = positions(ForceAtlas2.run(g,
+      Config(maxIter = 2, exactThreshold = 0), Some(start)))
+    assert(guarded.size == n)
+    assert(guarded.values.toSet.size == 1, "collapse coherence broken")
+    val (gx, gy) = guarded(0L)
+    val (ux, uy) = unguarded(0L)
+    assert(!gx.isNaN && !gy.isNaN && gx.abs < 100 && gy.abs < 100)
+    assert(math.abs(gx - ux) < 0.5 && math.abs(gy - uy) < 0.5,
+      s"guarded ($gx,$gy) drifted from unguarded ($ux,$uy)")
+  }
+
   test("explicit start positions are honored") {
     val g = graphOf(Seq((1L, 2L, 1.0), (2L, 1L, 1.0)))
     val s = spark; import s.implicits._
