@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algos.{Betweenness, Bfs, Bipartite, Coarsen, ConnectedComponents, CoreNumber, Ecg, Eigenvector, ExtractPaths, ForceAtlas2, Hits, Hungarian, Katz, KCore, KTruss, LabelPropagation, Leiden, Louvain, Mst, NeighborSampling, Node2Vec, PageRank, RandomWalks, Scc, Similarity, Spectral, Sssp, TraversedCost, TriangleCount}
-import graft.core.LinkGraph
+import graft.core.{LinkGraph, NPartiteGraph}
 import graft.core.LinkGraph.{DST, ID, SRC, WEIGHT}
 import graft.corpus.Generators
 import graft.sources.Mtx
@@ -679,6 +679,32 @@ object GraphQueries {
       Seq(("chain", chain.isBipartite, chain.merged),
         ("grid", grid.isBipartite, grid.merged))
         .toDF("g", "bipartite", "merged")
+    }),
+
+    "q_npartite_sets" -> ((s, dir) => {
+      // User-asserted partition bookkeeping (reference NPartiteGraph /
+      // BiPartiteGraph, graph_classes.py:704-886). Two instances over
+      // the chain graph's vertex set: a bipartite graph with only the
+      // even side DECLARED — the odd side comes out of sets()'s
+      // complement anti-join — and a 3-partite graph with all parts
+      // declared by id mod 3. Output is (g, id, part) rows.
+      val g = chainGraph(s, dir)
+      val bi = NPartiteGraph.biPartite(g)
+      bi.addNodesFrom(g.vertices.filter(pmod(col(ID), lit(2L)) === 0L),
+        bipartite = Some("top"))
+      val (top, bottom) = bi.bipartiteSets
+      val np = NPartiteGraph(g)
+      (0 to 2).foreach { r =>
+        np.addNodesFrom(g.vertices.filter(pmod(col(ID), lit(3L)) === r),
+          multipartite = Some(s"p$r"))
+      }
+      val biRows = top.select(lit("bi").as("g"), col(ID),
+          lit("top").as("part"))
+        .union(bottom.select(lit("bi"), col(ID), lit("bottom")))
+      val npRows = np.partiteSets.toSeq.map { case (name, nodes) =>
+        nodes.select(lit("multi").as("g"), col(ID), lit(name).as("part"))
+      }.reduce(_ union _)
+      biRows.union(npRows)
     }),
 
     "q_path_offsets" -> ((s, dir) => {
@@ -1620,6 +1646,18 @@ object GraphQueries {
       |)
       |SELECT u % 128 AS src, v % 128 AS dst, min(q) AS weight
       |FROM bidir GROUP BY 1, 2""".stripMargin,
+
+    // Partition bookkeeping: the declared sides are id-parity / id mod 3
+    // selections of the chain vertex set; the bipartite bottom side is
+    // the complement of the declared even side.
+    "q_npartite_sets" -> s"""$CHAIN,
+      |verts AS (SELECT DISTINCT src AS id FROM edges)
+      |SELECT 'bi' AS g, id,
+      |       CASE WHEN id % 2 = 0 THEN 'top' ELSE 'bottom' END AS part
+      |FROM verts
+      |UNION ALL
+      |SELECT 'multi' AS g, id, 'p' || CAST(id % 3 AS VARCHAR) AS part
+      |FROM verts""".stripMargin,
 
     "q_path_offsets" -> s"""$CHAIN,
       |deg AS (SELECT src AS path_id, count(*) AS sz FROM edges GROUP BY src)
