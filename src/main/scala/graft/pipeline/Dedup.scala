@@ -212,4 +212,49 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct() // a pair may agree on several bands
   }
+
+  /**
+   * Passage-level exact dedup (the CCNet / Dolma shape: dedupe
+   * SUB-document units across the whole corpus, not whole documents).
+   * Documents are chunked into fixed non-overlapping `window`-token
+   * passages (the deterministic chunking that makes passage identity
+   * well-defined at scale); a passage survives iff this (doc, index)
+   * is the globally first occurrence of its md5 — "first" by
+   * (doc id, passage index), the same canonical-owner rule `exact`
+   * uses. Returns one row per input document:
+   * (id, n_passages, kept_passages).
+   *
+   * Scale shape: chunking is partition-local (one projection), the
+   * owner election is one hash-shuffle groupBy on the 32-byte passage
+   * hash with a map-side-combinable min, and the ownership check is a
+   * co-keyed join on the same hash — no windows, no all-pairs, same
+   * cost profile as [[exact]] with rows = passages instead of docs.
+   */
+  def passageDedup(
+      docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    val ts = filter(split(col(textCol), "\\s+"), x => x =!= "")
+    val nChunks = ceil(size(ts) / lit(window.toDouble)).cast("int")
+    val chunks = when(size(ts) > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(ts, i * window + 1, lit(window)), " ")))
+      .otherwise(array())
+    val hp = docs
+      .select(col(idCol).as("__id"), posexplode_outer(chunks))
+      .select(col("__id"), col("pos").cast("long").as("__idx"),
+        md5(col("col")).as("__h"))
+    val owner = hp.filter(col("__h").isNotNull)
+      .groupBy("__h")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__o"))
+    hp.join(owner, Seq("__h"), "left")
+      .groupBy("__id")
+      .agg(
+        count(col("__h")).as("n_passages"),
+        sum(when(col("__o.__id") === col("__id") &&
+            col("__o.__idx") === col("__idx"), 1L).otherwise(0L))
+          .as("kept_passages"))
+      .select(col("__id").as(idCol), col("n_passages"),
+        col("kept_passages"))
+  }
 }

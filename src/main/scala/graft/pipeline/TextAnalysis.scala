@@ -15,6 +15,28 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     regexp_count(text, lit("\\S+")).cast("long")
 
+  /**
+   * Blocklist scrubbing (the bad-word / sensitive-term tagger of a
+   * training pipeline): per document, the number of case-insensitive
+   * whole-word blocklist hits and the md5 fingerprint of the redacted
+   * lowercase text (hits replaced by `[X]`). Pure per-row expression
+   * work — embarrassingly parallel, no shuffle at all; the pattern is
+   * a plain alternation so Java regex and RE2 (DuckDB) agree exactly.
+   * Terms are restricted to word characters so the compiled pattern
+   * can never diverge between engines.
+   */
+  def scrub(
+      docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[A-Za-z0-9]+")),
+      s"blocklist terms must be non-empty and alphanumeric, got $terms")
+    val pat = "\\b(" + terms.mkString("|") + ")\\b"
+    val low = lower(col(textCol))
+    docs.select(col(idCol),
+      regexp_count(low, lit(pat)).cast("long").as("n_hits"),
+      md5(regexp_replace(low, pat, "[X]")).as("clean_fp"))
+  }
+
   /** Per-doc token count frame: (id, n_tokens). */
   def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.algos.Bicliques
-import graft.pipeline.{Ann, Dedup, Multimodal, TextAnalysis}
+import graft.pipeline.{Ann, Dedup, Multimodal, Packing, TextAnalysis}
 
 /**
  * Training-data pipeline queries over the shared `documents` and
@@ -138,7 +138,25 @@ object TextQueries {
     // heuristic; flag marks every 7th doc as a "bad machine".
     "q_bicliques" -> ((s, dir) => docBicliques(docs(s, dir)).members),
 
-    "q_bicliques_stats" -> ((s, dir) => docBicliques(docs(s, dir)).stats)
+    "q_bicliques_stats" -> ((s, dir) => docBicliques(docs(s, dir)).stats),
+
+    "q_doc_scrub" -> ((s, dir) =>
+      // Blocklist tagger/redactor: whole-word case-insensitive hits +
+      // fingerprint of the redacted text. Pure projection, no shuffle.
+      TextAnalysis.scrub(docs(s, dir), "doc_id", "text",
+        Seq("slow", "fast", "badword"))),
+
+    "q_doc_passage_dedup" -> ((s, dir) =>
+      // Sub-document (passage) exact dedup, CCNet/Dolma-style:
+      // 20-token chunks, global first-occurrence owner election on the
+      // passage hash.
+      Dedup.passageDedup(docs(s, dir), "doc_id", "text", window = 20)),
+
+    "q_doc_pack" -> ((s, dir) =>
+      // Concat-and-split sequence packing into 64-token context bins
+      // over 4 md5-shuffled shards.
+      Packing.concatSplit(docs(s, dir), "doc_id", "text",
+        buckets = 4, ctx = 64))
   )
 
   private def docBicliques(d: DataFrame): Bicliques.Result = {
@@ -472,7 +490,57 @@ object TextQueries {
         |)
         |SELECT doc_id, CAST(f AS BIGINT) AS frame_ts_s
         |FROM dec, unnest(generate_series(0, duration_s - 1, 5)) t(f)
-        |WHERE media_type = 'video/mp4'""".stripMargin
+        |WHERE media_type = 'video/mp4'""".stripMargin,
+
+    "q_doc_scrub" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(lower(text),
+        |    '\b(slow|fast|badword)\b')) AS BIGINT) AS n_hits,
+        |  md5(regexp_replace(lower(text),
+        |    '\b(slow|fast|badword)\b', '[X]', 'g')) AS clean_fp
+        |FROM documents""".stripMargin,
+
+    // 20-token chunks; owner = min (doc_id, idx), encoded arithmetically
+    // (idx < 1e6 at every SF; the Spark side uses min(struct)).
+    "q_doc_passage_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $TOK AS ts FROM documents),
+         |p AS (
+         |  SELECT doc_id, CAST(u.i AS BIGINT) AS idx,
+         |    md5(array_to_string(
+         |      list_slice(ts, u.i*20+1, u.i*20+20), ' ')) AS h
+         |  FROM t, UNNEST(range(0, CAST(ceil(len(ts)/20.0) AS BIGINT)))
+         |    AS u(i)
+         |),
+         |o AS (SELECT h, min(doc_id*1000000 + idx) AS own FROM p GROUP BY h)
+         |SELECT d.doc_id,
+         |  CAST(count(p.h) AS BIGINT) AS n_passages,
+         |  CAST(coalesce(sum(CASE WHEN p.doc_id*1000000 + p.idx = o.own
+         |    THEN 1 END), 0) AS BIGINT) AS kept_passages
+         |FROM documents d
+         |LEFT JOIN p ON p.doc_id = d.doc_id
+         |LEFT JOIN o ON o.h = p.h
+         |GROUP BY d.doc_id""".stripMargin,
+
+    "q_doc_pack" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, CAST(len($TOK) AS BIGINT) AS n_tokens,
+         |    doc_id % 4 AS bucket,
+         |    md5('pack:' || CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents
+         |  WHERE len($TOK) > 0
+         |),
+         |w AS (
+         |  SELECT doc_id, bucket, n_tokens,
+         |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY bucket
+         |      ORDER BY k, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS start_tok
+         |  FROM b
+         |)
+         |SELECT doc_id, bucket, n_tokens, start_tok,
+         |  start_tok // 64 AS bin_id,
+         |  (start_tok + n_tokens - 1) // 64 AS end_bin
+         |FROM w""".stripMargin
   )
 
   /** SQL mirror of `Bicliques.findBicliques` over the doc×token lift

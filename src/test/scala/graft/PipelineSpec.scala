@@ -110,6 +110,23 @@ class DedupSpec extends SparkSpec {
       assert(got == want, s"maxHamming=$h")
     }
   }
+
+  test("passage dedup: first (doc, idx) occurrence owns each chunk") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a b c d e f g"), // chunks(3): "a b c" "d e f" "g"
+      (1L, "a b c x y z"),   // "a b c" duplicates doc 0 idx 0
+      (2L, ""),              // no tokens -> 0 passages
+      (3L, "g"))             // duplicates doc 0 idx 2
+      .toDF("doc_id", "text")
+    val got = Dedup.passageDedup(d, "doc_id", "text", window = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      0L -> ((3L, 3L)), 1L -> ((2L, 1L)), 2L -> ((0L, 0L)),
+      3L -> ((1L, 0L))))
+  }
 }
 
 class AnnSpec extends SparkSpec {
@@ -255,6 +272,62 @@ class TextAnalysisSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(fp(0L) == fp(1L))
     assert(fp(0L) != fp(2L))
+  }
+
+  test("scrub: whole-word case-insensitive hits; redaction fingerprint") {
+    val s = spark
+    import s.implicits._
+    val d = Seq(
+      (0L, "a FOX runs"), (1L, "a dog runs"), (2L, "a cat runs"),
+      (3L, "foxes run")) // 'fox' must NOT match inside 'foxes'
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scrub(d, "doc_id", "text", Seq("fox", "dog"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2))))
+      .toMap
+    assert(got(0L)._1 == 1L && got(1L)._1 == 1L)
+    assert(got(2L)._1 == 0L && got(3L)._1 == 0L)
+    // both redact to "a [X] runs" -> same fingerprint; cat differs
+    assert(got(0L)._2 == got(1L)._2)
+    assert(got(0L)._2 != got(2L)._2)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.scrub(d, "doc_id", "text", Seq("a.b"))
+    }
+  }
+}
+
+class PackingSpec extends SparkSpec {
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+      .map("%02x".format(_)).mkString
+
+  test("concat-and-split offsets equal the host prefix sums per shard") {
+    val s = spark
+    import s.implicits._
+    val rows = (0L to 9L).map(i =>
+      (i, Seq.fill(3 + (i % 4).toInt)("w").mkString(" "))) :+
+      (10L, "") // token-less doc is excluded
+    val d = rows.toDF("doc_id", "text")
+    val got = graft.pipeline.Packing
+      .concatSplit(d, "doc_id", "text", buckets = 2, ctx = 5)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))))
+      .toMap
+    // host mirror: same bucket, md5 order, running sums
+    val want = (0L to 9L).map { i =>
+      (i, i % 2, 3L + (i % 4), md5hex(s"pack:$i"))
+    }.groupBy(_._2).flatMap { case (_, ds) =>
+      var cum = 0L
+      ds.sortBy(x => (x._4, x._1)).map { case (id, b, n, _) =>
+        val start = cum; cum += n
+        id -> ((b, n, start, start / 5, (start + n - 1) / 5))
+      }
+    }
+    assert(got.size == 10 && !got.contains(10L))
+    want.foreach { case (id, exp) =>
+      assert(got(id) == exp, s"doc $id: got ${got(id)} want $exp")
+    }
   }
 }
 
