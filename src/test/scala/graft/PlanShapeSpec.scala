@@ -182,4 +182,42 @@ class PlanShapeSpec extends SparkSpec {
     }
     g.unpersist()
   }
+
+  test("sequence packing: the one window partitions by bucket, never global") {
+    // concat-and-split's running sum is the intrinsic sequential pass;
+    // it must stay sharded (partitionSpec = bucket) so per-task state
+    // is corpus/buckets, and it must be the ONLY window.
+    import spark.implicits._
+    val d = (0L until 500L).map(i => (i, Seq.fill(5)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Packing.concatSplit(d, "doc_id", "text",
+      buckets = 8, ctx = 16)
+    graft.core.SparkTuning.withoutAqe(spark) {
+      out.count()
+      val windows = out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.length == 1,
+        s"expected exactly one window:\n${out.queryExecution.executedPlan}")
+      assert(windows.head.partitionSpec.nonEmpty &&
+        windows.head.partitionSpec.exists(_.toString.contains("bucket")),
+        s"global window in packing:\n${windows.head}")
+    }
+  }
+
+  test("passage dedup executes no window: owner election is an aggregate") {
+    import spark.implicits._
+    val d = (0L until 200L)
+      .map(i => (i, Seq.fill(50)(s"t${i % 13}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Dedup.passageDedup(d, "doc_id", "text")
+    graft.core.SparkTuning.withoutAqe(spark) {
+      out.count()
+      val windows = out.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"window in passage dedup:\n${out.queryExecution.executedPlan}")
+    }
+  }
 }
