@@ -42,6 +42,48 @@ object TextAnalysis {
     docs.select(col(idCol), tokenCount(col(textCol)).as("n_tokens"))
 
   /**
+   * Corpus-wide top-k vocabulary: the k most frequent lowercase
+   * tokens with their counts, ties broken by token ascending.
+   * Scale shape: the token count is one hash aggregation with
+   * map-side combine (the vocabulary frame is already tiny relative
+   * to the corpus), and the global top-k compiles to
+   * `TakeOrderedAndProject` — per-partition bounded top-k merged at
+   * the driver, O(k) everywhere, never a window or a full sort.
+   */
+  def vocabTopK(
+      docs: DataFrame, textCol: String, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(explode(filter(split(lower(col(textCol)), "\\s+"),
+        x => x =!= "")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(k)
+  }
+
+  /**
+   * Source mixing weights (the data-mixing step of a pretraining
+   * pipeline): per source, document and token counts plus the
+   * uniform-target upsampling weight
+   * floor(total_docs * 1e6 / (n_sources * docs_in_source)) —
+   * weight > 1e6 means the source is under-represented vs a uniform
+   * mix. One map-side-combinable aggregation per source plus one
+   * broadcast of the 1-row corpus totals.
+   */
+  def mixingWeights(
+      docs: DataFrame, textCol: String, sourceCol: String): DataFrame = {
+    val per = docs.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount(col(textCol))).as("n_tokens"))
+    val tot = per.agg(sum("n_docs").as("__total"),
+      count(lit(1)).as("__nsrc"))
+    val num = col("__total") * 1000000L
+    val den = col("__nsrc") * col("n_docs")
+    per.crossJoin(broadcast(tot))
+      .select(col(sourceCol), col("n_docs"), col("n_tokens"),
+        ((num - pmod(num, den)) / den).cast("long").as("weight_micro"))
+  }
+
+  /**
    * Quality features, all as integers (micro-ratios) for stable
    * comparison: character count, token count, mean token length,
    * punctuation ratio, digit ratio, stopword ratio, and a composite

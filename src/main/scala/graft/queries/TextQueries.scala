@@ -156,7 +156,19 @@ object TextQueries {
       // Concat-and-split sequence packing into 64-token context bins
       // over 4 md5-shuffled shards.
       Packing.concatSplit(docs(s, dir), "doc_id", "text",
-        buckets = 4, ctx = 64))
+        buckets = 4, ctx = 64)),
+
+    "q_doc_vocab_topk" -> ((s, dir) =>
+      // Corpus-wide 20 most frequent tokens (TakeOrderedAndProject —
+      // bounded per-partition top-k, no sort, no window).
+      TextAnalysis.vocabTopK(docs(s, dir), "text", k = 20)),
+
+    "q_doc_mixing" -> ((s, dir) =>
+      // Uniform-target source mixing weights over the long-doc subset
+      // (the n_chars filter unbalances the otherwise-uniform synthetic
+      // sources so the weights are non-trivial).
+      TextAnalysis.mixingWeights(
+        docs(s, dir).filter(col("n_chars") >= 400), "text", "source"))
   )
 
   private def docBicliques(d: DataFrame): Bicliques.Result = {
@@ -540,7 +552,24 @@ object TextQueries {
          |SELECT doc_id, bucket, n_tokens, start_tok,
          |  start_tok // 64 AS bin_id,
          |  (start_tok + n_tokens - 1) // 64 AS end_bin
-         |FROM w""".stripMargin
+         |FROM w""".stripMargin,
+
+    "q_doc_vocab_topk" ->
+      """SELECT u.token, CAST(count(*) AS BIGINT) AS cnt
+        |FROM documents,
+        |  UNNEST(regexp_extract_all(lower(text), '\S+')) AS u(token)
+        |GROUP BY u.token
+        |ORDER BY cnt DESC, u.token
+        |LIMIT 20""".stripMargin,
+
+    "q_doc_mixing" ->
+      s"""WITH kept AS (SELECT * FROM documents WHERE n_chars >= 400)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($TOK)) AS BIGINT) AS n_tokens,
+         |  (SELECT count(*) FROM kept) * 1000000
+         |    // ((SELECT count(DISTINCT source) FROM kept) * count(*))
+         |    AS weight_micro
+         |FROM kept GROUP BY source""".stripMargin
   )
 
   /** SQL mirror of `Bicliques.findBicliques` over the doc×token lift

@@ -293,6 +293,34 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.scrub(d, "doc_id", "text", Seq("a.b"))
     }
   }
+
+  test("vocab top-k: counts, tie-break by token, bounded take plan") {
+    val s = spark
+    import s.implicits._
+    val d = Seq((0L, "b a a C c"), (1L, "a b z")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabTopK(d, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    // counts: a=3, b=2, c=2 (case folded), z=1; tie b<c
+    assert(got.toSeq == Seq(("a", 3L), ("b", 2L), ("c", 2L)))
+    val plan = TextAnalysis.vocabTopK(d, "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("mixing weights: uniform-target floor micros") {
+    val s = spark
+    import s.implicits._
+    // 3 docs in x, 1 doc in y -> total=4, nsrc=2:
+    // w(x) = floor(4e6 / (2*3)) = 666666, w(y) = floor(4e6/2) = 2000000
+    val d = Seq(
+      (0L, "t t", "x"), (1L, "t", "x"), (2L, "t", "x"), (3L, "t t t", "y"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.mixingWeights(d, "text", "source").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got("x") == ((3L, 4L, 666666L)))
+    assert(got("y") == ((1L, 3L, 2000000L)))
+  }
 }
 
 class PackingSpec extends SparkSpec {
