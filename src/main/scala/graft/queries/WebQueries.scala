@@ -126,6 +126,26 @@ object WebQueries {
         .orderBy(col("size").desc, col("label"))
     }),
 
+    "q_web_hostgraph" -> ((s, _) => {
+      // Host-level (domain) link graph: contract the url graph by the
+      // url's host — the standard web-analytics coarsening (domain
+      // PageRank input). Same shape as Coarsen.run (two label joins +
+      // one map-side-combinable groupBy-sum) with the label computed
+      // by a codegen'd regexp on the unrenumber map; at corpus scale
+      // both joins are the engine's id-keyed unrenumber hash joins.
+      val b = built(s)._2
+      val hosts = b.urlMap.select(col("id"),
+        regexp_extract(col("url"), HostRe, 1).as("host"))
+      b.graph.edges
+        .join(hosts.select(col("id").as("src"), col("host").as("src_host")),
+          Seq("src"))
+        .join(hosts.select(col("id").as("dst"), col("host").as("dst_host")),
+          Seq("dst"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).as("weight"))
+        .orderBy(col("weight").desc, col("src_host"), col("dst_host"))
+    }),
+
     "q_web_triangles" -> ((s, _) => {
       val b = built(s)._2
       val per = TriangleCount.run(symGraph(s))
@@ -140,6 +160,10 @@ object WebQueries {
 
   // Pinned href pattern (LinkExtractor.HrefPattern) — RE2-compatible.
   private val HrefRe = """(?i)<a\s[^>]*href="([^"]*)"[^>]*>"""
+
+  // Host component of a url — same pattern in Spark (Java regex) and
+  // DuckDB (RE2): scheme-prefixed authority up to the first slash.
+  private val HostRe = """^https?://([^/]+)"""
 
   /** Shared prefix: corpus → extracted links → degree-descending
    * renumber → directed renumbered edge table (parallel edges kept,
@@ -264,6 +288,18 @@ object WebQueries {
         |)
         |SELECT lbl AS label, CAST(count(*) AS BIGINT) AS size
         |FROM lp WHERE iter = $LpaIters GROUP BY lbl""".stripMargin,
+
+    "q_web_hostgraph" ->
+      s"""$WEB,
+        |hosts AS (
+        |  SELECT id, regexp_extract(url, '$HostRe', 1) AS host FROM urlmap
+        |)
+        |SELECT hs.host AS src_host, hd.host AS dst_host,
+        |  CAST(count(*) AS BIGINT) AS weight
+        |FROM dedges e
+        |JOIN hosts hs ON hs.id = e.src
+        |JOIN hosts hd ON hd.id = e.dst
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_web_triangles" ->
       s"""$WEB, $SYM,
