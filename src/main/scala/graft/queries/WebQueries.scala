@@ -146,6 +146,45 @@ object WebQueries {
         .orderBy(col("weight").desc, col("src_host"), col("dst_host"))
     }),
 
+    "q_web_host_pagerank" -> ((s, _) => {
+      // Domain ranking: weighted PageRank over the host-contracted
+      // graph (edge weight = page-level link count between the two
+      // hosts, q_web_hostgraph's output). The contracted table is
+      // re-renumbered with the SAME degree-descending dense-rank map
+      // the url graph uses, so the whole composite — contract →
+      // renumber → weighted PageRank → unrenumber — is the engine's
+      // own scale path at every step.
+      val b = built(s)._2
+      val hosts = b.urlMap.select(col("id"),
+        regexp_extract(col("url"), HostRe, 1).as("host"))
+      val hedges = b.graph.edges
+        .join(hosts.select(col("id").as("src"), col("host").as("src_host")),
+          Seq("src"))
+        .join(hosts.select(col("id").as("dst"), col("host").as("dst_host")),
+          Seq("dst"))
+        .groupBy("src_host", "dst_host")
+        .agg(count(lit(1)).cast("double").as("w"))
+      val hm = graft.core.Renumber.buildMap(
+        hedges.select(col("src_host").as("src_url"),
+          col("dst_host").as("dst_url")), parts(s))
+      val enc = hedges
+        .join(hm.select(col("url").as("src_host"), col("id").as("hsrc")),
+          Seq("src_host"))
+        .join(hm.select(col("url").as("dst_host"), col("id").as("hdst")),
+          Seq("dst_host"))
+        .select(col("hsrc"), col("hdst"), col("w"))
+      val hg = graft.core.LinkGraph.fromEdges(
+        enc, "hsrc", "hdst", Some("w"), directed = true, parts(s))
+      val r = PageRank.run(hg,
+        PageRank.Config(alpha = 0.85, tol = 0.0, maxIter = PrIters))
+      r.ranks
+        .join(hm.select(col("id"), col("url").as("host")), Seq("id"))
+        .select(col("host"),
+          round(col("pagerank") * 1e6, 0).cast("long").as("pr_micro"))
+        .orderBy(col("pr_micro").desc, col("host"))
+        .limit(10)
+    }),
+
     "q_web_triangles" -> ((s, _) => {
       val b = built(s)._2
       val per = TriangleCount.run(symGraph(s))
@@ -300,6 +339,52 @@ object WebQueries {
         |JOIN hosts hs ON hs.id = e.src
         |JOIN hosts hd ON hd.id = e.dst
         |GROUP BY 1, 2""".stripMargin,
+
+    "q_web_host_pagerank" ->
+      s"""$WEB,
+        |hosts AS (
+        |  SELECT id, regexp_extract(url, '$HostRe', 1) AS host FROM urlmap
+        |),
+        |hedges AS (
+        |  SELECT hs.host AS src, hd.host AS dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM dedges e
+        |  JOIN hosts hs ON hs.id = e.src
+        |  JOIN hosts hd ON hd.id = e.dst
+        |  GROUP BY 1, 2
+        |),
+        |verts AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM hedges UNION ALL SELECT dst FROM hedges
+        |  ) t
+        |),
+        |nv AS (SELECT count(*) AS n FROM verts),
+        |outw AS (SELECT src AS v, sum(w) AS ow FROM hedges GROUP BY src),
+        |eplus AS (
+        |  SELECT src, dst, w FROM hedges
+        |  UNION ALL SELECT v, v, 0.0 FROM verts
+        |),
+        |pr(iter, v, p) AS (
+        |  SELECT 0, v, 1.0 / (SELECT n FROM nv) FROM verts
+        |  UNION ALL
+        |  SELECT iter + 1, dst,
+        |         0.85 * contrib +
+        |         (0.85 * sum(dpart) OVER () + 0.15) / (SELECT n FROM nv)
+        |  FROM (
+        |    SELECT max(t.iter) AS iter, e.dst AS dst,
+        |           sum(CASE WHEN e.w > 0 THEN t.p * (e.w / o.ow) ELSE 0 END)
+        |             AS contrib,
+        |           sum(CASE WHEN e.w = 0 AND coalesce(o.ow, 0) = 0
+        |                    THEN t.p ELSE 0 END) AS dpart
+        |    FROM pr t
+        |    JOIN eplus e ON t.v = e.src
+        |    LEFT JOIN outw o ON o.v = t.v
+        |    WHERE t.iter < $PrIters
+        |    GROUP BY e.dst
+        |  ) s
+        |)
+        |SELECT v AS host, CAST(round(p * 1e6, 0) AS BIGINT) AS pr_micro
+        |FROM pr WHERE iter = $PrIters
+        |ORDER BY pr_micro DESC, host LIMIT 10""".stripMargin,
 
     "q_web_triangles" ->
       s"""$WEB, $SYM,
