@@ -185,6 +185,63 @@ object WebQueries {
         .limit(10)
     }),
 
+    "q_web_anchor_text" -> ((s, _) => {
+      // Anchor-text aggregation per link TARGET — the classic web-corpus
+      // op (anchor text describes the destination page; standard
+      // retrieval / training-data augmentation signal). Whole <a>
+      // elements are extracted with the pinned href pattern extended by
+      // a non-greedy body, then href + inner text are pulled per
+      // element — all codegen'd regexps — and aggregated by target url:
+      // one explode + one map-side-combinable hash agg, no windows.
+      val pages = corpus(s)
+      pages
+        .select(explode(regexp_extract_all(
+          LinkExtractor.htmlStr(col("html")), lit(AnchorRe), lit(0)))
+          .as("elem"))
+        .select(
+          regexp_extract(col("elem"), AnchorRe, 1).as("dst_url"),
+          regexp_extract(col("elem"), AnchorRe, 2).as("anchor"))
+        .groupBy("dst_url")
+        .agg(count(lit(1)).as("n_anchors"),
+          countDistinct(col("anchor")).as("n_texts"),
+          min(col("anchor")).as("first_text"))
+    }),
+
+    "q_web_reciprocity" -> ((s, _) => {
+      // Link reciprocity: fraction of distinct non-loop directed edges
+      // whose reverse edge also exists — a standard link-graph health
+      // metric. One self-join on the reversed key (id-keyed hash join
+      // at corpus scale) + one scalar agg; no windows, no cross join.
+      val b = built(s)._2
+      val de = b.graph.edges.select("src", "dst")
+        .where(col("src") =!= col("dst")).distinct()
+      val rev = de.select(col("dst").as("src"), col("src").as("dst"))
+        .withColumn("r", lit(1))
+      de.join(rev, Seq("src", "dst"), "left")
+        .agg(count(lit(1)).as("n_edges"),
+          sum(coalesce(col("r"), lit(0))).cast("long").as("n_reciprocal"))
+        .select(col("n_edges"), col("n_reciprocal"),
+          round(lit(1e6) * col("n_reciprocal") / col("n_edges"), 0)
+            .cast("long").as("reciprocity_micro"))
+    }),
+
+    "q_web_degree_dist" -> ((s, _) => {
+      // Degree-frequency table (direction, degree, n_vertices) of the
+      // url graph — the power-law sanity check every web-graph pipeline
+      // runs. Two chained map-side-combinable hash aggs per direction;
+      // exact integer output (no float bucketing), so the oracle is an
+      // exact mirror. Vertices with zero in- (resp. out-) degree do not
+      // appear under that direction, matching the SQL mirror.
+      val b = built(s)._2
+      val e = b.graph.edges
+      def hist(keyCol: String, dir: String): DataFrame =
+        e.groupBy(col(keyCol).as("v")).agg(count(lit(1)).as("degree"))
+          .groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+          .select(lit(dir).as("direction"), col("degree"),
+            col("n_vertices"))
+      hist("src", "out").unionByName(hist("dst", "in"))
+    }),
+
     "q_web_triangles" -> ((s, _) => {
       val b = built(s)._2
       val per = TriangleCount.run(symGraph(s))
@@ -203,6 +260,12 @@ object WebQueries {
   // Host component of a url — same pattern in Spark (Java regex) and
   // DuckDB (RE2): scheme-prefixed authority up to the first slash.
   private val HostRe = """^https?://([^/]+)"""
+
+  // Whole anchor element with href + inner text — the pinned href
+  // pattern extended by a non-greedy body. No backreferences, so the
+  // same pattern runs under Java regex (Spark) and RE2 (DuckDB).
+  private val AnchorRe =
+    """(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>"""
 
   /** Shared prefix: corpus → extracted links → degree-descending
    * renumber → directed renumbered edge table (parallel edges kept,
@@ -385,6 +448,50 @@ object WebQueries {
         |SELECT v AS host, CAST(round(p * 1e6, 0) AS BIGINT) AS pr_micro
         |FROM pr WHERE iter = $PrIters
         |ORDER BY pr_micro DESC, host LIMIT 10""".stripMargin,
+
+    "q_web_anchor_text" ->
+      s"""$WEB,
+        |elems AS (
+        |  SELECT unnest(regexp_extract_all(decode(html), '$AnchorRe', 0))
+        |    AS elem
+        |  FROM pages
+        |),
+        |anchors AS (
+        |  SELECT regexp_extract(elem, '$AnchorRe', 1) AS dst_url,
+        |         regexp_extract(elem, '$AnchorRe', 2) AS anchor
+        |  FROM elems
+        |)
+        |SELECT dst_url, CAST(count(*) AS BIGINT) AS n_anchors,
+        |  CAST(count(DISTINCT anchor) AS BIGINT) AS n_texts,
+        |  min(anchor) AS first_text
+        |FROM anchors GROUP BY dst_url""".stripMargin,
+
+    "q_web_reciprocity" ->
+      s"""$WEB,
+        |de AS (SELECT DISTINCT src, dst FROM dedges WHERE src <> dst)
+        |SELECT CAST(count(*) AS BIGINT) AS n_edges,
+        |  CAST(count(r.src) AS BIGINT) AS n_reciprocal,
+        |  CAST(round(1e6 * count(r.src) / count(*), 0) AS BIGINT)
+        |    AS reciprocity_micro
+        |FROM de LEFT JOIN de r
+        |  ON r.src = de.dst AND r.dst = de.src""".stripMargin,
+
+    "q_web_degree_dist" ->
+      s"""$WEB,
+        |outd AS (
+        |  SELECT src AS v, CAST(count(*) AS BIGINT) AS degree
+        |  FROM dedges GROUP BY src
+        |),
+        |ind AS (
+        |  SELECT dst AS v, CAST(count(*) AS BIGINT) AS degree
+        |  FROM dedges GROUP BY dst
+        |)
+        |SELECT 'out' AS direction, degree,
+        |  CAST(count(*) AS BIGINT) AS n_vertices
+        |FROM outd GROUP BY degree
+        |UNION ALL
+        |SELECT 'in' AS direction, degree, CAST(count(*) AS BIGINT)
+        |FROM ind GROUP BY degree""".stripMargin,
 
     "q_web_triangles" ->
       s"""$WEB, $SYM,
