@@ -242,6 +242,23 @@ object WebQueries {
       hist("src", "out").unionByName(hist("dst", "in"))
     }),
 
+    "q_web_crawl_depth" -> ((s, _) => {
+      // Crawl-depth profile: directed BFS from the top-degree url
+      // (id 0 after the degree-descending renumber) → page count per
+      // link depth, the coverage curve a crawl scheduler consumes.
+      // Reuses the engine's direction-optimizing BFS; pages the seed
+      // cannot reach show up as one depth = -1 bucket via the
+      // vertex-table left join (same co-partitioned id-keyed join
+      // every unrenumber uses).
+      val b = built(s)._2
+      val d = graft.algos.Bfs.run(b.graph, Seq(0L))
+        .select(col("id"), col("distance"))
+      b.graph.vertices.join(d, Seq("id"), "left")
+        .select(coalesce(col("distance"), lit(-1L)).as("depth"))
+        .groupBy("depth")
+        .agg(count(lit(1)).as("n_pages"))
+    }),
+
     "q_web_triangles" -> ((s, _) => {
       val b = built(s)._2
       val per = TriangleCount.run(symGraph(s))
@@ -492,6 +509,25 @@ object WebQueries {
         |UNION ALL
         |SELECT 'in' AS direction, degree, CAST(count(*) AS BIGINT)
         |FROM ind GROUP BY degree""".stripMargin,
+
+    "q_web_crawl_depth" ->
+      s"""$WEB,
+        |verts AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT src AS v FROM dedges UNION ALL SELECT dst FROM dedges
+        |  ) t
+        |),
+        |d(v, dist) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.dst, d.dist + 1 FROM d JOIN dedges e ON d.v = e.src
+        |  WHERE d.dist < 60
+        |),
+        |dmin AS (SELECT v, min(dist) AS dist FROM d GROUP BY v)
+        |SELECT CAST(coalesce(dm.dist, -1) AS BIGINT) AS depth,
+        |  CAST(count(*) AS BIGINT) AS n_pages
+        |FROM verts vv LEFT JOIN dmin dm ON dm.v = vv.v
+        |GROUP BY 1""".stripMargin,
 
     "q_web_triangles" ->
       s"""$WEB, $SYM,
