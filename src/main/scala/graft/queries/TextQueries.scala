@@ -168,7 +168,34 @@ object TextQueries {
       // (the n_chars filter unbalances the otherwise-uniform synthetic
       // sources so the weights are non-trivial).
       TextAnalysis.mixingWeights(
-        docs(s, dir).filter(col("n_chars") >= 400), "text", "source"))
+        docs(s, dir).filter(col("n_chars") >= 400), "text", "source")),
+
+    "q_doc_tfidf_topk" -> ((s, dir) => {
+      // Top-3 characteristic terms per document by tf×idf with the
+      // RATIONAL idf tf/df (pinned formula: score_micro =
+      // round(1e6·tf/df) — an IEEE-exact double of two small integers,
+      // so Spark and DuckDB round identically; no libm ln in the
+      // oracle path, and the rank ORDER uses the rounded score on both
+      // sides). The per-doc rank window is bounded by the DOCUMENT's
+      // own distinct-token count — never the corpus — the same per-use
+      // bound the packing window carries; df is one map-side-
+      // combinable hash agg and joins back on the token hash key.
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val toks = d.select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
+          .as("token"))
+      val tf = toks.groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, Seq("token"))
+        .select(col("doc_id"), col("token"),
+          round(lit(1e6) * col("tf") / col("df"), 0).cast("long")
+            .as("score_micro"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("token").asc)
+      scored.withColumn("rank", row_number().over(w).cast("long"))
+        .where(col("rank") <= 3)
+    })
   )
 
   private def docBicliques(d: DataFrame): Bicliques.Result = {
@@ -569,7 +596,35 @@ object TextQueries {
          |  (SELECT count(*) FROM kept) * 1000000
          |    // ((SELECT count(DISTINCT source) FROM kept) * count(*))
          |    AS weight_micro
-         |FROM kept GROUP BY source""".stripMargin
+         |FROM kept GROUP BY source""".stripMargin,
+
+    "q_doc_tfidf_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.token
+        |  FROM documents,
+        |    UNNEST(regexp_extract_all(lower(text), '\S+')) AS u(token)
+        |),
+        |tf AS (
+        |  SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks GROUP BY 1, 2
+        |),
+        |dfreq AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        |),
+        |scored AS (
+        |  SELECT doc_id, t.token,
+        |    CAST(round(1e6 * tf / df, 0) AS BIGINT) AS score_micro
+        |  FROM tf t JOIN dfreq USING (token)
+        |),
+        |ranked AS (
+        |  SELECT doc_id, token, score_micro,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY score_micro DESC, token
+        |    ) AS BIGINT) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, token, score_micro, rank
+        |FROM ranked WHERE rank <= 3""".stripMargin
   )
 
   /** SQL mirror of `Bicliques.findBicliques` over the doc×token lift

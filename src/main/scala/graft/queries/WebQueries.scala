@@ -242,6 +242,25 @@ object WebQueries {
       hist("src", "out").unionByName(hist("dst", "in"))
     }),
 
+    "q_web_host_langmix" -> ((s, _) => {
+      // Language mix per domain: page counts by (host, lang) plus the
+      // host's majority language — the per-domain language profile a
+      // multilingual crawl pipeline uses for routing and filtering.
+      // Two map-side-combinable hash aggs; the majority pick is a
+      // struct-max (greatest n_pages, ties to the greater lang code),
+      // never a window, so a host with 10^9 pages costs one combiner
+      // cell per (host, lang).
+      val pages = corpus(s)
+      val hl = pages.select(
+          regexp_extract(col("url"), HostRe, 1).as("host"), col("lang"))
+        .groupBy("host", "lang").agg(count(lit(1)).as("n_pages"))
+      val top = hl.groupBy("host")
+        .agg(max(struct(col("n_pages"), col("lang"))).as("m"))
+        .select(col("host"), col("m.lang").as("top_lang"))
+      hl.join(top, Seq("host"))
+        .select("host", "lang", "n_pages", "top_lang")
+    }),
+
     "q_web_crawl_depth" -> ((s, _) => {
       // Crawl-depth profile: directed BFS from the top-degree url
       // (id 0 after the degree-descending renumber) → page count per
@@ -509,6 +528,26 @@ object WebQueries {
         |UNION ALL
         |SELECT 'in' AS direction, degree, CAST(count(*) AS BIGINT)
         |FROM ind GROUP BY degree""".stripMargin,
+
+    "q_web_host_langmix" ->
+      s"""WITH pages AS (
+        |  SELECT * FROM read_parquet('$CorpusDumpDir/*.parquet')
+        |),
+        |hl AS (
+        |  SELECT regexp_extract(url, '$HostRe', 1) AS host, lang,
+        |    CAST(count(*) AS BIGINT) AS n_pages
+        |  FROM pages GROUP BY 1, 2
+        |),
+        |top AS (
+        |  SELECT host, lang AS top_lang FROM (
+        |    SELECT host, lang, row_number() OVER (
+        |      PARTITION BY host ORDER BY n_pages DESC, lang DESC
+        |    ) AS rn
+        |    FROM hl
+        |  ) t WHERE rn = 1
+        |)
+        |SELECT hl.host, hl.lang, hl.n_pages, top.top_lang
+        |FROM hl JOIN top ON top.host = hl.host""".stripMargin,
 
     "q_web_crawl_depth" ->
       s"""$WEB,
