@@ -32,6 +32,17 @@ import graft.core.LinkGraph.{DST, ID, SRC}
  */
 object TriangleCount {
 
+  /** Broadcast the oriented adjacency when its estimated size is under
+   * this many bytes (entries × 8B plus per-row overhead). The oriented
+   * adjacency has exactly one entry per undirected edge, so this is a
+   * |E|-driven bound: under it, BOTH intersect joins become broadcast
+   * hash joins and the per-edge neighbor arrays never cross an
+   * exchange (measured at sf0.1: the duplicated (src, dst, nu) rows
+   * were the dominant shuffle — ~1 GB/round-trip for a 10 MB
+   * adjacency). Past the bound the original co-partitioned shuffle
+   * plan runs unchanged — the 100 TB posture does not regress. */
+  val DefaultBroadcastAdjBytes: Long = 64L << 20
+
   def run(g0: LinkGraph): DataFrame =
     graft.core.SparkTuning.withoutAqe(g0.spark)(runImpl(g0))
 
@@ -45,26 +56,40 @@ object TriangleCount {
     // twoCore returns already-materialized (cached) edges.
     val coreEdges = twoCore(simple).edges
 
+    // One oriented-adjacency entry per undirected edge: the cached
+    // symmetric row count / 2 sizes the broadcast decision.
+    val bcast = lastTwoCoreEdges * 8L < DefaultBroadcastAdjBytes
+
     // Orient low→high by (degree, id); each undirected edge kept once.
+    // Materialized ONCE (hash-partitioned by src so the adjacency
+    // groupBy is exchange-free): it feeds both the adjacency build and
+    // the intersect probe side, and as a live plan it re-ran the
+    // degree joins per consumer action.
     val deg = LinkGraph(coreEdges, directed = false, p).outDegrees
       .select(col(ID), col("out_degree").as("d"))
-    val dSrc = deg.select(col(ID).as(SRC), col("d").as("ds"))
-    val dDst = deg.select(col(ID).as(DST), col("d").as("dd"))
-    val oriented = coreEdges
-      .join(dSrc, Seq(SRC)).join(dDst, Seq(DST))
-      .filter(col("ds") < col("dd") ||
-        (col("ds") === col("dd") && col(SRC) < col(DST)))
-      .select(SRC, DST)
+    val degB = if (bcast) broadcast(deg) else deg
+    val dSrc = degB.select(col(ID).as(SRC), col("d").as("ds"))
+    val dDst = degB.select(col(ID).as(DST), col("d").as("dd"))
+    val orientedH = graft.core.Lineage.materialize(
+      coreEdges
+        .join(dSrc, Seq(SRC)).join(dDst, Seq(DST))
+        .filter(col("ds") < col("dd") ||
+          (col("ds") === col("dd") && col(SRC) < col(DST)))
+        .select(SRC, DST)
+        .repartition(p, col(SRC)),
+      eager = false)
+    val oriented = orientedH.df
 
     // Oriented adjacency arrays, sorted for a merge-style intersect.
-    val adj = oriented
+    val adj0 = oriented
       .groupBy(col(SRC).as(ID))
       .agg(sort_array(collect_list(col(DST))).as("nbrs"))
-      .repartition(p, col(ID))
+    val adj = (if (bcast) adj0 else adj0.repartition(p, col(ID)))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    val adjU = adj.select(col(ID).as(SRC), col("nbrs").as("nu"))
-    val adjV = adj.select(col(ID).as(DST), col("nbrs").as("nv"))
+    val adjB = if (bcast) broadcast(adj) else adj
+    val adjU = adjB.select(col(ID).as(SRC), col("nbrs").as("nu"))
+    val adjV = adjB.select(col(ID).as(DST), col("nbrs").as("nv"))
     // Inner join: if v has no oriented out-edges the intersection is
     // empty and the edge contributes nothing.
     val withInter = oriented
@@ -89,6 +114,7 @@ object TriangleCount {
         .select(col(ID), coalesce(col("triangles"), lit(0L)).as("triangles")))
     withInter.unpersist()
     adj.unpersist()
+    orientedH.release()
     if (!callerCached) g.unpersist()
     out.df
   }
@@ -105,6 +131,11 @@ object TriangleCount {
    */
   /** Peel rounds taken by the most recent [[twoCore]] (oracle sizing). */
   @volatile var lastTwoCoreRounds: Int = 0
+
+  /** Symmetric edge rows surviving the most recent [[twoCore]] — free
+   * (the peel loop counts every round) and sizes [[run]]'s
+   * broadcast-vs-shuffle adjacency decision. */
+  @volatile var lastTwoCoreEdges: Long = 0L
 
   def twoCore(g: LinkGraph, maxIter: Int = 100): LinkGraph = {
     var cur = graft.core.Lineage.materialize(g.edges, eager = false)
@@ -127,6 +158,7 @@ object TriangleCount {
       cur = next
     }
     lastTwoCoreRounds = it
+    lastTwoCoreEdges = n
     LinkGraph(cur.df, g.directed, g.numPartitions)
   }
 }
