@@ -88,19 +88,41 @@ object KTruss {
       it += 1
       val sym = cur.df
         .union(cur.df.select(col(DST).as(SRC), col(SRC).as(DST)))
-      val deg = sym.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      // Broadcast the round's adjacency when it fits (same bound and
+      // rationale as TriangleCount.DefaultBroadcastAdjBytes): the
+      // intersect joins otherwise duplicate each neighbor array once
+      // per incident edge through an exchange — at sf0.1 that was
+      // ~400 MB shuffled per peel round for a ~20 MB adjacency. `n` is
+      // the previous round's canonical edge count, so the estimate
+      // (2n entries x 8 B) is known before any new job runs; past the
+      // bound the co-partitioned shuffle plan below is unchanged.
+      // Under the bound the hub split is moot — the widest possible
+      // adjacency row is bounded by the whole (broadcastable)
+      // adjacency — so the degree table, the width semi-join and the
+      // per-round hub-existence action are skipped outright.
+      val bcastAdj = 2L * n * 8L < TriangleCount.DefaultBroadcastAdjBytes
+
+      val deg =
+        if (bcastAdj) null
+        else sym.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
 
       // ---- normal path: bounded adjacency arrays ----
-      val lowAdj = sym
-        .join(deg.filter(col("d") <= maxAdjWidth).select(ID)
-          .withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
+      val lowAdj0 = (if (bcastAdj) sym
+        else sym.join(deg.filter(col("d") <= maxAdjWidth).select(ID)
+          .withColumnRenamed(ID, SRC), Seq(SRC), "left_semi"))
         .groupBy(col(SRC).as(ID))
         .agg(sort_array(collect_list(col(DST))).as("nbrs"))
-        .repartition(p, col(ID))
+      val lowAdj = (if (bcastAdj) lowAdj0
+        else lowAdj0.repartition(p, col(ID)))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      val adjU = lowAdj.select(col(ID).as(SRC), col("nbrs").as("nu"))
-      val adjV = lowAdj.select(col(ID).as(DST), col("nbrs").as("nv"))
+      // Fill the cache before the two broadcast builds start: each
+      // build otherwise re-runs the whole adjacency aggregation.
+      if (bcastAdj) lowAdj.count()
+      val lowAdjB = if (bcastAdj) broadcast(lowAdj) else lowAdj
+      val adjU = lowAdjB.select(col(ID).as(SRC), col("nbrs").as("nu"))
+      val adjV = lowAdjB.select(col(ID).as(DST), col("nbrs").as("nv"))
       val lowSurvivors = cur.df
         .join(adjU, Seq(SRC))
         .join(adjV, Seq(DST))
@@ -108,27 +130,29 @@ object KTruss {
         .select(SRC, DST)
 
       // ---- hub path: edges with an over-cap endpoint (rare) ----
-      val hubV = deg.filter(col("d") > maxAdjWidth)
-      val degS = deg.select(col(ID).as(SRC), col("d").as("ds"))
-      val degD = deg.select(col(ID).as(DST), col("d").as("dd"))
-      val hubEdges = cur.df
-        .join(degS, Seq(SRC)).join(degD, Seq(DST))
-        .filter(col("ds") > maxAdjWidth || col("dd") > maxAdjWidth)
-      val hubSurvivors: DataFrame = if (hubV.isEmpty) null else {
-        // Probe from the lower-degree endpoint: min(deg) wedge rows
-        // per edge.
-        val probes = hubEdges.select(
-          when(col("ds") <= col("dd"), col(SRC)).otherwise(col(DST))
-            .as("probe"),
-          when(col("ds") <= col("dd"), col(DST)).otherwise(col(SRC))
-            .as("other"))
-        val n1 = sym.select(col(SRC).as("probe"), col(DST).as("w"))
-        val n2 = sym.select(col(SRC).as("other"), col(DST).as("w"))
-        probes.join(n1, Seq("probe")).join(n2, Seq("other", "w"))
-          .groupBy("probe", "other").agg(count(lit(1)).as("sup"))
-          .filter(col("sup") >= minSupport)
-          .select(least(col("probe"), col("other")).as(SRC),
-            greatest(col("probe"), col("other")).as(DST))
+      val hubSurvivors: DataFrame = if (bcastAdj) null else {
+        val hubV = deg.filter(col("d") > maxAdjWidth)
+        val degS = deg.select(col(ID).as(SRC), col("d").as("ds"))
+        val degD = deg.select(col(ID).as(DST), col("d").as("dd"))
+        val hubEdges = cur.df
+          .join(degS, Seq(SRC)).join(degD, Seq(DST))
+          .filter(col("ds") > maxAdjWidth || col("dd") > maxAdjWidth)
+        if (hubV.isEmpty) null else {
+          // Probe from the lower-degree endpoint: min(deg) wedge rows
+          // per edge.
+          val probes = hubEdges.select(
+            when(col("ds") <= col("dd"), col(SRC)).otherwise(col(DST))
+              .as("probe"),
+            when(col("ds") <= col("dd"), col(DST)).otherwise(col(SRC))
+              .as("other"))
+          val n1 = sym.select(col(SRC).as("probe"), col(DST).as("w"))
+          val n2 = sym.select(col(SRC).as("other"), col(DST).as("w"))
+          probes.join(n1, Seq("probe")).join(n2, Seq("other", "w"))
+            .groupBy("probe", "other").agg(count(lit(1)).as("sup"))
+            .filter(col("sup") >= minSupport)
+            .select(least(col("probe"), col("other")).as(SRC),
+              greatest(col("probe"), col("other")).as(DST))
+        }
       }
 
       val survivors =
@@ -138,7 +162,7 @@ object KTruss {
         survivors.repartition(p, col(SRC)), eager = false)
       val m = next.df.count()
       lowAdj.unpersist()
-      deg.unpersist()
+      if (deg != null) deg.unpersist()
       changed = m < n
       n = m
       cur.release()
