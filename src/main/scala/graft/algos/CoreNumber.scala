@@ -134,22 +134,29 @@ object CoreNumber {
       var dirtyCache: Option[DataFrame] = None
       val stream =
         if (frontierMode) {
-          val dirty = edges
+          val dirtyPlan = edges
             .join(state.df.filter(col("chg")).select(col(ID))
                 .hint("shuffle_hash"),
               edges(SRC) === col(ID))
             .select(col(DST)).distinct()
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          dirtyCache = Some(dirty)
           // The changed-vertex gate does NOT bound the dirty set — one
           // changed mega-hub dirties every neighbor, approaching |V|.
-          // Broadcast only when the materialized dirty set is actually
-          // small; otherwise fall back to a shuffle semi-join.
-          val dirtyN = dirty.count()
-          if (dirtyN <= 1000000)
-            joined.join(broadcast(dirty), Seq(DST), "left_semi")
-          else
-            joined.join(dirty.hint("shuffle_hash"), Seq(DST), "left_semi")
+          // When |V| itself is broadcastable the bound is free (dirty
+          // ⊆ V) and the dirty set goes straight into a broadcast
+          // semi-join: no persist, no sizing count — one driver round
+          // trip per tail round instead of two. Only past 1M vertices
+          // is the materialize + count + decide machinery needed.
+          if (nVerts <= 1000000) {
+            joined.join(broadcast(dirtyPlan), Seq(DST), "left_semi")
+          } else {
+            val dirty = dirtyPlan.persist(StorageLevel.MEMORY_AND_DISK)
+            dirtyCache = Some(dirty)
+            val dirtyN = dirty.count()
+            if (dirtyN <= 1000000)
+              joined.join(broadcast(dirty), Seq(DST), "left_semi")
+            else
+              joined.join(dirty.hint("shuffle_hash"), Seq(DST), "left_semi")
+          }
         } else joined
 
       // ONE exchange per round: hash by dst; both the (dst, c)

@@ -186,10 +186,26 @@ object Louvain {
         .repartition(p, col(ID)),
       eager = false)
 
+    // V-sized frames (labels, cluster weights) broadcast when they fit
+    // (guide §3.1): the dst-label join was the per-iteration E-sized
+    // exchange, and the own/candidate aggregations re-shuffled the
+    // labeled edge frame twice more because the join left it
+    // dst-partitioned. Broadcasting keeps the labeled edges on the
+    // cached edge table's src partitioning, so BOTH aggregations, the
+    // argmax and the state join run exchange-free — zero E-sized
+    // exchanges per inner iteration. Past the bound (V too big to
+    // broadcast) the original shuffle plan runs unchanged.
+    val vCount = vw.df.count()
+    val bcastV = vCount * 32L < (64L << 20)
+
     var labels = Lineage.materialize(
       vw.df.select(col(ID), col(ID).as("lbl")), eager = false)
-    var best = Lineage.materialize(labels.df)
     val fixed = cfg.fixedInnerIter > 0
+    // Adaptive mode keeps a separate copy of the best-Q labels; fixed
+    // mode takes every iteration unconditionally, so `best` just
+    // tracks the newest handle (the per-iteration eager copy was a
+    // V-sized cache + job of pure overhead).
+    var best = if (fixed) labels else Lineage.materialize(labels.df)
     // Fixed-iteration mode takes every iteration's labels uncondition-
     // ally, so the per-iteration Q evaluation (two extra jobs each) is
     // pure overhead — evaluate Q once, after the loop.
@@ -208,20 +224,22 @@ object Louvain {
       // Cluster weights a(c) from the current labels.
       val cw = labels.df.join(vw.df.hint("shuffle_hash"), Seq(ID))
         .groupBy(col("lbl")).agg(sum("kk").as("a"))
+      val cwB = if (bcastV) broadcast(cw) else cw
 
       // Edges with both endpoint clusters; the dst-label join is the
-      // per-iteration E-sized shuffle. Materialized once — both the
-      // own-cluster and candidate aggregations scan it, and recomputing
-      // the double join per aggregation doubled the E-sized work.
+      // per-iteration E-sized shuffle (or a broadcast when V fits).
+      // Materialized once — both the own-cluster and candidate
+      // aggregations scan it, and recomputing the double join per
+      // aggregation doubled the E-sized work.
+      val lsrcJ = labels.df.select(col(ID), col("lbl").as("lsrc"))
+      val ldstJ = labels.df.select(col(ID), col("lbl").as("ldst"))
       val ebH = Lineage.materialize(
         edges
-          .join(labels.df.select(col(ID), col("lbl").as("lsrc"))
-              .hint("shuffle_hash"),
-            edges(SRC) === col(ID))
+          .join(if (bcastV) broadcast(lsrcJ) else lsrcJ.hint("shuffle_hash"),
+            edges(SRC) === lsrcJ(ID))
           .drop(ID)
-          .join(labels.df.select(col(ID), col("lbl").as("ldst"))
-              .hint("shuffle_hash"),
-            col(DST) === col(ID))
+          .join(if (bcastV) broadcast(ldstJ) else ldstJ.hint("shuffle_hash"),
+            col(DST) === ldstJ(ID))
           .select(col(SRC), col(DST), col(WEIGHT).as("w"),
             col("lsrc"), col("ldst")))
       val eb = ebH.df
@@ -240,14 +258,14 @@ object Louvain {
         .agg(sum("w").as("ns"))
 
       val vinfo = labels.df.join(vw.df.hint("shuffle_hash"), Seq(ID))
-        .join(cw.select(col("lbl"), col("a").as("a_old")), Seq("lbl"))
+        .join(cwB.select(col("lbl"), col("a").as("a_old")), Seq("lbl"))
 
       val scored = cand
         .join(vinfo.select(col(ID).as(SRC), col("lbl"), col("kk"),
-          col("a_old")), Seq(SRC))
-        .join(cw.select(col("lbl").as("ldst"), col("a").as("a_new")),
+          col("a_old")).hint("shuffle_hash"), Seq(SRC))
+        .join(cwB.select(col("lbl").as("ldst"), col("a").as("a_new")),
           Seq("ldst"))
-        .join(own, Seq(SRC), "left")
+        .join(own.hint("shuffle_hash"), Seq(SRC), "left")
         .select(col(SRC), col("ldst"), col("lbl"),
           (lit(2.0) * (
             ((col("ns")
@@ -271,15 +289,16 @@ object Louvain {
             when(col("delta") > 0.0 &&
                 (col("c") > labels.df("lbl")) === lit(upDown), col("c"))
               .otherwise(labels.df("lbl")).as("lbl")),
-        eager = false)
+        eager = fixed)
 
       if (fixed) {
         // Oracle-parity mode: always take the labels, run all
         // fixedInnerIter iterations; Q evaluated once after the loop.
-        best.release()
-        best = Lineage.materialize(nextLabels.df)
+        // nextLabels was materialized eagerly above (so ebH can drop),
+        // and `best` just follows the newest handle.
         labels.release()
         labels = nextLabels
+        best = nextLabels
       } else {
         newQ = modularity(edges, nextLabels.df, vw.df, totalW, res)
         if (newQ > curQ) {
@@ -298,7 +317,7 @@ object Louvain {
     }
 
     if (fixed) curQ = modularity(edges, best.df, vw.df, totalW, res)
-    labels.release()
+    if (!fixed) labels.release() // fixed: labels IS best — keep it live
     vw.release()
     (best, curQ)
   }

@@ -26,4 +26,26 @@ object SparkTuning {
       case None => spark.conf.unset(key)
     }
   }
+
+  /**
+   * Run `f` with `spark.sql.shuffle.partitions` scoped to `n` —
+   * scale-adaptive partitioning for an algorithm that has measured its
+   * input and found it far smaller than the session layout (a 36-vertex
+   * layout fixture on a 32-partition session spends its whole wall
+   * clock scheduling empty tasks: every per-iteration aggregation is a
+   * 32-task stage). Callers derive `n` from a row count, so the same
+   * code keeps the full session parallelism on at-scale inputs. NOT
+   * safe under driver-thread concurrency (the conf is session-global);
+   * the callers are single-threaded algorithm loops.
+   */
+  def withShufflePartitions[T](spark: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, n.toString)
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
 }
