@@ -168,11 +168,21 @@ object Mst {
     var it = 0
     var nPairs = 1L
 
+    // Component labels are V rows — broadcast them into the per-round
+    // cross-edge annotation when V fits (guide §3.1): the dst-side
+    // label join otherwise exchanges the whole canonical edge table
+    // every Borůvka round. One count up front; past the bound the
+    // co-partitioned shuffle joins below run unchanged.
+    val nV = comp.df.count()
+    val bcastComp = nV * 24L < (64L << 20)
+
     while (nPairs > 0 && it < cfg.maxIter) {
       it += 1
+      val compS = comp.df.select(col(ID).as(SRC), col("comp").as("cs"))
+      val compD = comp.df.select(col(ID).as(DST), col("comp").as("cd"))
       val cross = canon.df
-        .join(comp.df.select(col(ID).as(SRC), col("comp").as("cs")), Seq(SRC))
-        .join(comp.df.select(col(ID).as(DST), col("comp").as("cd")), Seq(DST))
+        .join(if (bcastComp) broadcast(compS) else compS, Seq(SRC))
+        .join(if (bcastComp) broadcast(compD) else compD, Seq(DST))
         .filter(col("cs") =!= col("cd"))
       val crossH = Lineage.materialize(cross, eager = false)
       // Per-component minimum cross edge by (weight, src, dst).
@@ -185,16 +195,18 @@ object Mst {
         .select(col("k.s").as(SRC), col("k.d").as(DST),
           col("k.w").as(WEIGHT))
         .distinct()
-      val picksH = Lineage.materialize(picks)
+      // Lazy: the nPairs count below materializes picksH and ppH in
+      // one job (the eager form paid a separate job per round).
+      val picksH = Lineage.materialize(picks, eager = false)
       // Merge components over the picked COMPONENT pairs (one DIRECTED
       // row per picked edge; both merge paths tolerate duplicates, so
       // no distinct here). Empty pairs <=> no cross edges: terminate.
+      val ppCs = comp.df.select(col(ID).as(SRC), col("comp").as("cs"))
+      val ppCd = comp.df.select(col(ID).as(DST), col("comp").as("cd"))
       val ppH = Lineage.materialize(
         picksH.df
-          .join(comp.df.select(col(ID).as(SRC), col("comp").as("cs")),
-            Seq(SRC))
-          .join(comp.df.select(col(ID).as(DST), col("comp").as("cd")),
-            Seq(DST))
+          .join(if (bcastComp) broadcast(ppCs) else ppCs, Seq(SRC))
+          .join(if (bcastComp) broadcast(ppCd) else ppCd, Seq(DST))
           .select(col("cs").as("x"), col("cd").as("y")),
         eager = false)
       nPairs = ppH.df.count()
@@ -221,11 +233,16 @@ object Mst {
             ppSym.release()
             (out.df.hint("shuffle_hash"), Some(out))
           }
+        // The collect-path merge map is a broadcast: the join keeps
+        // comp's hash(id) partitioning, so no re-layout is needed. The
+        // pointer-jump path's shuffled join does re-key — repartition
+        // only there.
+        val newCompPlan = comp.df.join(merged, Seq("comp"), "left")
+          .select(col(ID),
+            coalesce(col("newc"), col("comp")).as("comp"))
         val newComp = Lineage.materialize(
-          comp.df.join(merged, Seq("comp"), "left")
-            .select(col(ID),
-              coalesce(col("newc"), col("comp")).as("comp"))
-            .repartition(p, col(ID)))
+          if (nPairs <= cfg.mergeCollectThreshold) newCompPlan
+          else newCompPlan.repartition(p, col(ID)))
         mergedH.foreach(_.release())
         comp.release()
         comp = newComp
