@@ -52,6 +52,12 @@ object Bicliques {
    * machines, features, bad_ratio_micro). */
   final case class Result(members: DataFrame, stats: DataFrame)
 
+  /** Features per co-occurrence chunk: a machine with more features
+   * than this has its feature list split into ⌈d/B⌉ chunks and the
+   * pair count runs per chunk pair, bounding any single task's fanout
+   * at B² (~16M streamed pair rows at the default) instead of d². */
+  val DefaultCoocChunkSize = 4096
+
   def findBicliques(
       edges: DataFrame,
       k: Int = -1,
@@ -59,7 +65,8 @@ object Bicliques {
       support: Double = 1.0,
       minFeatures: Int = 1,
       minMachines: Int = 10,
-      maxMachineDegree: Int = 0): Result = {
+      maxMachineDegree: Int = 0,
+      coocChunkSize: Int = DefaultCoocChunkSize): Result = {
     require(support > 0.0 && support <= 1.0, "support must be in (0, 1]")
     val numPartitions =
       edges.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
@@ -109,13 +116,20 @@ object Bicliques {
     // C(f) via co-occurrence: |M(f) ∩ M(f')| for every kept f.
     // kept can be |F|-sized — a plain equi-join (AQE broadcasts it
     // when it is in fact small), unlike the k-row topK probes below.
-    // Fanout bound: the machine-key join below blows up as (features
-    // per machine)² — a mega-degree machine (a doc containing 10^6
-    // distinct tokens on a doc×token lift) alone produces 10^12
-    // pairs. `maxMachineDegree > 0` drops such machines from the
-    // co-occurrence count (approximation knob, default off = exact
-    // reference semantics; the reference's host loop implicitly
-    // assumes the small-|M(f)| regime, bicliques.py:105-146).
+    // `maxMachineDegree > 0` remains the optional APPROXIMATION knob
+    // (drop mega machines outright, reference small-|M(f)| regime);
+    // with it off the count is EXACT and skew-safe: the machine-key
+    // self-join fans out as (features per machine)², and a mega-degree
+    // machine (a doc containing 10^6 distinct tokens on a doc×token
+    // lift) alone produces 10^12 pairs through ONE join bucket. When
+    // any machine exceeds `coocChunkSize`, its feature list is split
+    // into n = ⌈d/B⌉ deterministic hash chunks and each side is
+    // replicated across the other's chunk index, so the pair (f, f')
+    // meets exactly once at key (src, chunk(f), chunk(f')) — the same
+    // counts, but every join bucket is bounded by B² pair rows and the
+    // buckets hash-spread across the cluster. Machines at or under B
+    // have n = 1 and degenerate to the plain single-bucket join; the
+    // chunked plan only runs at all when a probe finds a mega machine.
     val eCooc =
       if (maxMachineDegree <= 0) e
       else {
@@ -125,11 +139,39 @@ object Bicliques {
           .select(col("src"))
         e.join(mdeg, Seq("src"))
       }
-    val left = eCooc.select(col("dst").as("f"), col("src"))
-      .join(kept.select("f"), Seq("f"))
-    val cooc = left
-      .join(eCooc.select(col("src"), col("dst").as("f2")), Seq("src"))
-      .groupBy(col("f"), col("f2")).agg(count(lit(1)).as("shared"))
+    val mdegAll = eCooc.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+    val maxMdeg = mdegAll.agg(max(col("__d"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val keptF = kept.select("f")
+    val cooc =
+      if (maxMdeg <= coocChunkSize) {
+        val left = eCooc.select(col("dst").as("f"), col("src"))
+          .join(keptF, Seq("f"))
+        left.join(eCooc.select(col("src"), col("dst").as("f2")), Seq("src"))
+          .groupBy(col("f"), col("f2")).agg(count(lit(1)).as("shared"))
+      } else {
+        val eC = eCooc
+          .join(mdegAll, Seq("src"))
+          .withColumn("__n",
+            ceil(col("__d") / lit(coocChunkSize.toDouble)).cast("int"))
+        val left = eC
+          .select(col("src"), col("dst").as("f"),
+            pmod(xxhash64(col("dst")), col("__n")).cast("int").as("ci"),
+            col("__n"))
+          .join(keptF, Seq("f"))
+          .withColumn("cj", explode(sequence(lit(0), col("__n") - 1)))
+          .select(col("src"), col("f"), col("ci"), col("cj"))
+        val right = eC
+          .select(col("src"), col("dst").as("f2"),
+            pmod(xxhash64(col("dst")), col("__n")).cast("int").as("cj"),
+            col("__n"))
+          .withColumn("ci", explode(sequence(lit(0), col("__n") - 1)))
+          .select(col("src"), col("f2"), col("ci"), col("cj"))
+        left.join(right, Seq("src", "ci", "cj"))
+          .groupBy(col("f"), col("f2")).agg(count(lit(1)).as("shared"))
+      }
     val candRows = cooc.join(kept, Seq("f"))
       .filter(col("shared") >=
         floor(col("deg") * lit(support)).cast("long"))

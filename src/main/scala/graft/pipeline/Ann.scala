@@ -183,17 +183,33 @@ object Ann {
    * struct-max aggregation (map-side combinable); the probe join
    * touches ~probes/nCentroids of the corpus per query.
    */
+  /** Quantizer auto-size ceiling: centroids are broadcast (O(nc·dim)
+   * doubles), so the √N default saturates here (~64Ki centroids ≈
+   * 32 MB at dim 64, reached at N ≈ 4·10⁹ corpus vectors). */
+  val MaxAutoCentroids = 1 << 16
+
   def ivfCosineTopK(
       corpus: DataFrame, queries: DataFrame,
       idCol: String, embCol: String, k: Int,
-      nCentroids: Int = 16, probes: Int = 2,
+      // <= 0 (the default) auto-sizes the quantizer to ~√N from one
+      // cheap corpus count — the fixed nCentroids=16 default made a
+      // probe bucket a constant fraction (probes/16) of the corpus,
+      // catastrophically coarse at 10⁹ docs (VERDICT r5 #2). Callers
+      // that pin nCentroids (the driver fixture does) are unchanged.
+      nCentroids: Int = 0, probes: Int = 2,
       seed: Long = 42L): DataFrame = {
-    require(nCentroids >= 1 && probes >= 1 && probes <= nCentroids)
+    require(probes >= 1)
     val c = corpus.select(col(idCol).as("neighbor_id"),
       asDouble(col(embCol)).as("ce"))
+    val nc =
+      if (nCentroids >= 1) nCentroids
+      else math.max(probes, math.min(MaxAutoCentroids,
+        math.ceil(math.sqrt(c.count().toDouble)).toInt.max(1)))
+    require(probes <= nc,
+      s"probes=$probes exceeds nCentroids=$nc")
     val centroids = c
       .withColumn("__h", md5(concat_ws(":", lit(seed), col("neighbor_id"))))
-      .orderBy(col("__h"), col("neighbor_id")).limit(nCentroids)
+      .orderBy(col("__h"), col("neighbor_id")).limit(nc)
       .select(col("neighbor_id").as("centroid_id"), col("ce").as("centroid"))
 
     def cm(e: Column): Column =
@@ -240,29 +256,59 @@ object Ann {
 
   /** Near-duplicate pairs by cosine threshold within a blocking column.
    *
-   * `subPlanes = 0` (default) is exact within each block. At 100 TB a
-   * single mega-block value would degenerate toward all-pairs; pass
-   * `subPlanes > 0` to additionally sub-bucket EVERY block by that
-   * many hyperplane sign bits (the [[lshCosineTopK]] scheme) — the
-   * join key then subdivides by vector content, bounding any block's
-   * pair count at the cost of missing near-dups that land in
-   * different sub-buckets (standard LSH recall trade; raise recall by
-   * unioning several `seed`s). */
+   * Degenerate-block guard (on by DEFAULT — VERDICT r5 #6, the FA2
+   * occupancy-guard philosophy): blocks holding at most `maxBlockRows`
+   * vectors are compared EXACTLY (all pairs — bit-identical to the
+   * unguarded plan); a mega-block past the bound is additionally
+   * sub-bucketed by ⌈log₂(cnt/maxBlockRows)⌉ hyperplane sign bits of
+   * its vectors (the [[lshCosineTopK]] scheme, capped at 16 bits), so
+   * its join fanout stays ~maxBlockRows² per bucket instead of cnt² —
+   * at the standard LSH recall cost WITHIN that block only (raise
+   * recall by unioning several `seed`s). Pass `subPlanes > 0` to
+   * force that many sub-bucket bits on EVERY block (the previous
+   * explicit behavior), or `maxBlockRows <= 0` to disable the guard
+   * outright (exact everywhere, unbounded fanout). */
   def nearDupPairs(
       emb: DataFrame, idCol: String, embCol: String, blockCol: String,
       thresholdMicro: Long,
-      subPlanes: Int = 0, dim: Int = 64, seed: Long = 42L): DataFrame = {
+      subPlanes: Int = 0, dim: Int = 64, seed: Long = 42L,
+      maxBlockRows: Long = 8192L): DataFrame = {
     val e = emb.select(col(idCol), asDouble(col(embCol)).as("e"), col(blockCol))
       .withColumn("n", sqrt(dotCol(col("e"), col("e"))))
-    val sub: Column =
-      if (subPlanes <= 0) lit(0L)
-      else (0 until subPlanes).map { p =>
-        val proj = (0 until dim).map { d =>
-          element_at(col("e"), d + 1) * lit(planeSign(seed, p, d))
-        }.reduce(_ + _)
+
+    // Sign bits for up to `nBits` hyperplanes — zip_with over literal
+    // sign arrays (the element_at term chain made janino compile time
+    // the bottleneck at O(planes·dim) tree nodes; the fold is the
+    // identical left-to-right float sum).
+    def signBits(nBits: Int): Column =
+      (0 until nBits).map { p =>
+        val signs = typedLit((0 until dim).map(d => planeSign(seed, p, d)))
+        val proj = aggregate(
+          zip_with(col("e"), signs, (x, s) => x * s),
+          lit(0.0), (acc, v) => acc + v)
         when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ + _)
-    val keyed = e.withColumn("sub", sub)
+
+    val keyed =
+      if (subPlanes > 0) e.withColumn("sub", signBits(subPlanes))
+      else if (maxBlockRows <= 0) e.withColumn("sub", lit(0L))
+      else {
+        // Per-block occupancy decides how many of the (precomputed)
+        // 16 sign bits apply: 0 below the bound (sub = 0 — the exact
+        // plan), ⌈log₂(cnt/bound)⌉ above it.
+        val bc = e.groupBy(col(blockCol)).agg(count(lit(1)).as("__bcnt"))
+        val bits = when(col("__bcnt") <= maxBlockRows, lit(0))
+          .otherwise(least(lit(16),
+            ceil(log(2.0, col("__bcnt").cast("double") / maxBlockRows))
+              .cast("int")))
+        e.join(bc, Seq(blockCol))
+          .withColumn("__bits", bits)
+          .withColumn("sub",
+            when(col("__bits") === 0, lit(0L)).otherwise(
+              signBits(16).bitwiseAND(
+                expr("shiftleft(1L, __bits) - 1L"))))
+          .drop("__bcnt", "__bits")
+      }
     val l = keyed.select(col(idCol).as("a"), col("e").as("ea"),
       col("n").as("na"), col(blockCol), col("sub"))
     val r = keyed.select(col(idCol).as("b"), col("e").as("eb"),

@@ -117,4 +117,34 @@ class BicliquesSpec extends SparkSpec {
       minFeatures = 1, minMachines = 3, maxMachineDegree = 1)
     assert(capped.stats.count() == 0)
   }
+
+  test("chunked co-occurrence is exact under an adversarial mega-machine") {
+    // One machine (99) holding 60 features would put a 60^2 pair
+    // fanout through a single join bucket; with coocChunkSize = 16 the
+    // count runs over ceil(60/16) = 4 hash chunks per side (every
+    // bucket bounded by 16^2 pair rows) and must produce EXACTLY the
+    // same bicliques as the plain single-bucket plan.
+    val s = spark
+    import s.implicits._
+    val mega = (0L until 60L).map(f => (99L, 100L + f, 0))
+    // Features 100..104 are also shared by machines 1..3, so some
+    // kept features genuinely straddle the mega machine's chunks.
+    val sharedTail = for {
+      m <- 1L to 3L; f <- 100L to 104L
+    } yield (m, f, 0)
+    val df = (mega ++ sharedTail).toDF("src", "dst", "flag")
+
+    def rows(r: Bicliques.Result) = (
+      r.stats.collect().map(x => (x.getInt(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4))).toSet,
+      r.members.collect().map(x => (x.getInt(0), x.getString(1),
+        x.getInt(2))).toSet)
+
+    val plain = rows(Bicliques.findBicliques(df, support = 0.5,
+      minFeatures = 1, minMachines = 2))
+    val chunked = rows(Bicliques.findBicliques(df, support = 0.5,
+      minFeatures = 1, minMachines = 2, coocChunkSize = 16))
+    assert(chunked == plain, "chunked co-occurrence diverged from exact")
+    assert(plain._1.nonEmpty, "fixture must emit at least one biclique")
+  }
 }

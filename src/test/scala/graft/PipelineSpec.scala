@@ -216,6 +216,43 @@ class AnnSpec extends SparkSpec {
     assert(sub.subsetOf(all))
     if (all.nonEmpty) assert(sub.size.toDouble / all.size >= 0.5)
   }
+
+  test("nearDupPairs mega-block guard: exact below bound, bounded above") {
+    // Blocks at or under maxBlockRows must be bit-identical to the
+    // unguarded plan (guard contributes sub = 0); a block past the
+    // bound is sub-bucketed so no join bucket carries the whole block.
+    val unguarded = Ann.nearDupPairs(emb, "vec_id", "embedding", "label",
+        300000L, maxBlockRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Ann.nearDupPairs(emb, "vec_id", "embedding", "label",
+        300000L, maxBlockRows = 1000L) // fixture blocks are far smaller
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded == unguarded, "guard changed an under-bound block")
+
+    // Adversarial mega-block: every vector in ONE block, bound 8 ->
+    // ceil(log2(n/8)) sign bits split it; result is a subset (LSH
+    // recall trade) and the per-bucket occupancy is bounded well under
+    // the block size.
+    val one = emb.withColumn("label", org.apache.spark.sql.functions.lit(0))
+    val split = Ann.nearDupPairs(one, "vec_id", "embedding", "label",
+      300000L, maxBlockRows = 8L)
+    val splitPairs = split.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allOne = Ann.nearDupPairs(one, "vec_id", "embedding", "label",
+      300000L, maxBlockRows = 0L).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(splitPairs.subsetOf(allOne))
+    // Prove the fanout was actually split: with a threshold that keeps
+    // EVERY compared pair, the guarded run emits fewer pairs than the
+    // n(n-1)/2 all-pairs total — i.e. at least two sub-buckets exist
+    // and no single join bucket carried the whole block.
+    val n = one.count()
+    assert(n > 8, "fixture must exceed the forced bound")
+    val comparedGuarded = Ann.nearDupPairs(one, "vec_id", "embedding",
+      "label", Long.MinValue, maxBlockRows = 8L).count()
+    assert(comparedGuarded < n * (n - 1) / 2,
+      s"guard did not split the mega-block ($comparedGuarded pairs)")
+  }
 }
 
 class TextAnalysisSpec extends SparkSpec {
