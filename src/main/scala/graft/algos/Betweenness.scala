@@ -82,6 +82,15 @@ object Betweenness {
     }
     val kUsed = sources.count()
 
+    // Every per-level frame is bounded by kUsed·n rows ((source,
+    // vertex) keys): when that fits a broadcast (guide §3.1) the
+    // frontier join runs on the cached edge table's own partitioning,
+    // the visited anti-join broadcasts its build side, and the
+    // per-level repartition disappears — the message reduce's partial
+    // aggregation is the only exchange per level. Past the bound the
+    // original shuffle plan runs unchanged.
+    val bcast = kUsed * n * 48L < (64L << 20)
+
     var frontier = Lineage.materialize(
       sources.select(col("s"), col("s").as("v"), lit(0L).as("dist"),
         lit(1.0).as("sigma")).repartition(p, col("s"), col("v")),
@@ -92,15 +101,20 @@ object Betweenness {
 
     while (frontierSize > 0 && depth < cfg.maxDepth) {
       depth += 1
-      val msgs = frontier.df
-        .join(edges.hint("shuffle_hash"), frontier.df("v") === edges(SRC))
+      val expanded =
+        if (bcast) edges.join(broadcast(frontier.df),
+          frontier.df("v") === edges(SRC))
+        else frontier.df.join(edges.hint("shuffle_hash"),
+          frontier.df("v") === edges(SRC))
+      val msgs = expanded
         .groupBy(col("s"), col(DST).as("v"))
         .agg(sum("sigma").as("sigma"))
+      val seen = visited.df.select(col("s"), col("v"))
+      val fresh = msgs
+        .join(if (bcast) broadcast(seen) else seen, Seq("s", "v"), "left_anti")
+        .select(col("s"), col("v"), lit(depth).as("dist"), col("sigma"))
       val newF = Lineage.materialize(
-        msgs.join(visited.df.select(col("s"), col("v")),
-            Seq("s", "v"), "left_anti")
-          .select(col("s"), col("v"), lit(depth).as("dist"), col("sigma"))
-          .repartition(p, col("s"), col("v")),
+        if (bcast) fresh else fresh.repartition(p, col("s"), col("v")),
         eager = false)
       frontierSize = newF.df.count()
       if (frontierSize > 0) {
@@ -137,35 +151,47 @@ object Betweenness {
     val Forward(visited, depth, kUsed, n, verts) = fw
 
     // ---- backward phase: δ accumulation from the deepest layer ----
+    // Same k·n broadcast bound as the forward phase: under it, the
+    // per-level frames broadcast into the reversed-edge join (which
+    // then streams the CACHED edge table in place — no rev
+    // repartition/persist at all) and the term reduce's partial
+    // aggregation is the level's only exchange.
+    val bcast = kUsed * n * 48L < (64L << 20)
     var level = Lineage.materialize(
       visited.df.filter(col("dist") === depth)
         .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta")))
     val acc = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
     acc += level
 
-    // Reversed edges, hash-partitioned on the join key ONCE — each
-    // backward level joins on w, and an unpartitioned rev would
-    // re-shuffle the full edge table per level.
-    val rev = edges.select(col(DST).as("w"), col(SRC).as("v"))
-      .repartition(p, col("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Reversed edges; above the broadcast bound, hash-partitioned on
+    // the join key ONCE — each backward level joins on w, and an
+    // unpartitioned rev would re-shuffle the full edge table per level.
+    val revBase = edges.select(col(DST).as("w"), col(SRC).as("v"))
+    val rev =
+      if (bcast) revBase
+      else revBase.repartition(p, col("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     var d = depth - 1
     while (d >= 0) {
       val vAtD = visited.df.filter(col("dist") === d)
         .select(col("s"), col("v"), col("sigma"))
-      // term-wise: σ_v/σ_w · (1 + δ_w) per (s, v, w), then sum.
-      val terms = level.df
+      val lsel = level.df
         .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
           col("delta").as("dw"))
-        .join(rev, Seq("w"))
-        .join(vAtD.select(col("s"), col("v"), col("sigma").as("sv")),
-          Seq("s", "v"))
+      val vsel = vAtD.select(col("s"), col("v"), col("sigma").as("sv"))
+      // term-wise: σ_v/σ_w · (1 + δ_w) per (s, v, w), then sum.
+      val termRows =
+        if (bcast) rev.join(broadcast(lsel), Seq("w"))
+          .join(broadcast(vsel), Seq("s", "v"))
+        else lsel.join(rev, Seq("w")).join(vsel, Seq("s", "v"))
+      val terms = termRows
         .select(col("s"), col("v"),
           (col("sv") / col("sw") * (lit(1.0) + col("dw"))).as("t"))
         .groupBy(col("s"), col("v"))
         .agg(sum("t").as("delta"))
       val nextLevel = Lineage.materialize(
-        vAtD.join(terms, Seq("s", "v"), "left")
+        vAtD.join(if (bcast) broadcast(terms) else terms,
+            Seq("s", "v"), "left")
           .select(col("s"), col("v"), col("sigma"),
             coalesce(col("delta"), lit(0.0)).as("delta")))
       acc += nextLevel
@@ -185,17 +211,18 @@ object Betweenness {
         if (!g.directed) 0.5 else 1.0
       }
 
+    val dAgg = allDeltas.filter(col("v") =!= col("s"))
+      .groupBy(col("v")).agg(sum("delta").as("d0"))
+      .withColumnRenamed("v", ID)
     val bc = Lineage.materialize(
       verts.df.join(
-          allDeltas.filter(col("v") =!= col("s"))
-            .groupBy(col("v")).agg(sum("delta").as("d0"))
-            .withColumnRenamed("v", ID).hint("shuffle_hash"),
+          if (bcast) broadcast(dAgg) else dAgg.hint("shuffle_hash"),
           Seq(ID), "left")
         .select(col(ID),
           (coalesce(col("d0"), lit(0.0)) * factor).as("bc")))
 
     acc.foreach(_.release())
-    rev.unpersist()
+    if (!bcast) rev.unpersist()
     visited.release()
     verts.release()
     if (!callerCached) g.unpersist()
@@ -222,27 +249,32 @@ object Betweenness {
     }
     val Forward(visited, depth, kUsed, n, verts) = fw
 
+    // Same k·n broadcast bound as [[runImpl]]'s backward phase.
+    val bcast = kUsed * n * 48L < (64L << 20)
     var level = Lineage.materialize(
       visited.df.filter(col("dist") === depth)
         .select(col("s"), col("v"), col("sigma"), lit(0.0).as("delta")))
     val acc = scala.collection.mutable.ArrayBuffer[Lineage.Handle](level)
     val edgeAcc = scala.collection.mutable.ArrayBuffer[Lineage.Handle]()
 
-    val rev = edges.select(col(DST).as("w"), col(SRC).as("v"))
-      .repartition(p, col("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val revBase = edges.select(col(DST).as("w"), col(SRC).as("v"))
+    val rev =
+      if (bcast) revBase
+      else revBase.repartition(p, col("w"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     var d = depth - 1
     while (d >= 0) {
       val vAtD = visited.df.filter(col("dist") === d)
         .select(col("s"), col("v"), col("sigma"))
+      val lsel = level.df
+        .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
+          col("delta").as("dw"))
+      val vsel = vAtD.select(col("s"), col("v"), col("sigma").as("sv"))
       // Per-(s, arc) term — the edge credit itself.
       val arcTerms = Lineage.materialize(
-        level.df
-          .select(col("s"), col("v").as("w"), col("sigma").as("sw"),
-            col("delta").as("dw"))
-          .join(rev, Seq("w"))
-          .join(vAtD.select(col("s"), col("v"), col("sigma").as("sv")),
-            Seq("s", "v"))
+        (if (bcast) rev.join(broadcast(lsel), Seq("w"))
+            .join(broadcast(vsel), Seq("s", "v"))
+          else lsel.join(rev, Seq("w")).join(vsel, Seq("s", "v")))
           .select(col("s"), col("v"), col("w"),
             (col("sv") / col("sw") * (lit(1.0) + col("dw"))).as("t")))
       edgeAcc += arcTerms
@@ -250,7 +282,8 @@ object Betweenness {
         .groupBy(col("s"), col("v"))
         .agg(sum("t").as("delta"))
       val nextLevel = Lineage.materialize(
-        vAtD.join(terms, Seq("s", "v"), "left")
+        vAtD.join(if (bcast) broadcast(terms) else terms,
+            Seq("s", "v"), "left")
           .select(col("s"), col("v"), col("sigma"),
             coalesce(col("delta"), lit(0.0)).as("delta")))
       acc += nextLevel
@@ -287,7 +320,7 @@ object Betweenness {
 
     acc.foreach(_.release())
     edgeAcc.foreach(_.release())
-    rev.unpersist()
+    if (!bcast) rev.unpersist()
     visited.release()
     verts.release()
     if (!callerCached) g.unpersist()

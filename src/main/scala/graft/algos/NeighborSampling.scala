@@ -53,7 +53,13 @@ object NeighborSampling {
       seeds: DataFrame,
       fanouts: Seq[Int],
       seed: Long = 42L): DataFrame =
-    run(g0, seeds, fanouts, seed)
+    adjacencyOf(run(g0, seeds, fanouts, seed))
+
+  /** Regroup an edge-form sample (hop, src, dst) into the adjacency
+   * form — split out so a caller holding a shared [[run]] frame can
+   * derive both output forms from one sample. */
+  def adjacencyOf(sample: DataFrame): DataFrame =
+    sample
       .groupBy(col("hop"), col(SRC))
       .agg(sort_array(collect_list(col(DST))).as("nbrs"))
 
@@ -64,12 +70,21 @@ object NeighborSampling {
       seed: Long): DataFrame = {
     val callerCached = g0.edges.storageLevel != StorageLevel.NONE
     val g = if (callerCached) g0 else g0.cached()
-    val edges = g.edges.select(SRC, DST).distinct()
+    // Dedupe ONCE into the hop joins' src layout and materialize:
+    // left lazy, every hop re-ran the E-sized distinct AND re-exchanged
+    // its hash(src, dst) output to hash(src) inside the semi-join —
+    // 2 E-shuffles per hop instead of 2 total (guide §2.4).
+    val edgesH = Lineage.materialize(
+      g.edges.select(SRC, DST).distinct()
+        .repartition(g.numPartitions, col(SRC)),
+      eager = false)
+    val edges = edgesH.df
 
     var frontier = Lineage.materialize(
       seeds.select(col(seeds.columns.head).as(ID)).distinct(),
       eager = false)
-    val scratch = scala.collection.mutable.ArrayBuffer[Lineage.Handle](frontier)
+    val scratch = scala.collection.mutable.ArrayBuffer[Lineage.Handle](
+      edgesH, frontier)
     var out: Option[DataFrame] = None
 
     fanouts.zipWithIndex.foreach { case (fanout, h) =>

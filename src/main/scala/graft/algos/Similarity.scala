@@ -36,11 +36,11 @@ object Similarity {
   case object Sorensen extends Coefficient { val name = "sorensen" }
   case object Overlap extends Coefficient { val name = "overlap" }
 
-  /** Returns (src, dst, <coef> as double). */
-  def run(
-      g: LinkGraph,
-      coefficient: Coefficient,
-      pairs: Option[DataFrame] = None): DataFrame = {
+  /** The intersection-statistics frame (src, dst, i, da, db) every
+   * coefficient is a pure per-row formula over — the expensive wedge
+   * join computed ONCE and shared by jaccard/sorensen/overlap (the
+   * three run()s used to recompute it per metric). */
+  def base(g: LinkGraph, pairs: Option[DataFrame] = None): DataFrame = {
     val edges = g.edges.filter(col(SRC) =!= col(DST))
       .select(SRC, DST).distinct()
     val deg = edges.groupBy(col(SRC).as(ID))
@@ -55,12 +55,17 @@ object Similarity {
     val common = pr.join(n1, Seq(SRC)).join(n2, Seq(DST, "w"))
       .groupBy(SRC, DST).agg(count(lit(1)).cast("double").as("i"))
 
-    val base = pr
+    pr
       .join(deg.select(col(ID).as(SRC), col("d").as("da")), Seq(SRC))
       .join(deg.select(col(ID).as(DST), col("d").as("db")), Seq(DST))
       .join(common, Seq(SRC, DST), "left")
       .select(col(SRC), col(DST),
         coalesce(col("i"), lit(0.0)).as("i"), col("da"), col("db"))
+  }
+
+  /** Apply one coefficient's formula to a [[base]] frame — identical
+   * per-row float path as the fused run(). */
+  def fromBase(base: DataFrame, coefficient: Coefficient): DataFrame = {
     val score = coefficient match {
       case Jaccard => col("i") / (col("da") + col("db") - col("i"))
       case Sorensen => lit(2.0) * col("i") / (col("da") + col("db"))
@@ -68,6 +73,13 @@ object Similarity {
     }
     base.select(col(SRC), col(DST), score.as(coefficient.name))
   }
+
+  /** Returns (src, dst, <coef> as double). */
+  def run(
+      g: LinkGraph,
+      coefficient: Coefficient,
+      pairs: Option[DataFrame] = None): DataFrame =
+    fromBase(base(g, pairs), coefficient)
 
   /**
    * WEIGHTED similarity variants (reference
@@ -87,6 +99,15 @@ object Similarity {
       g: LinkGraph,
       coefficient: Coefficient,
       vertexWeights: DataFrame,
+      pairs: Option[DataFrame] = None): DataFrame =
+    fromBaseWeighted(baseWeighted(g, vertexWeights, pairs), coefficient)
+
+  /** Weighted analog of [[base]]: (src, dst, i, da, db) with
+   * i = W(A ∩ B), da/db = W(N(v)) — shared by the three weighted
+   * coefficients. */
+  def baseWeighted(
+      g: LinkGraph,
+      vertexWeights: DataFrame,
       pairs: Option[DataFrame] = None): DataFrame = {
     val vw = vertexWeights.select(col(ID), col("vw").cast("double"))
     val edges = g.edges.filter(col(SRC) =!= col(DST))
@@ -105,12 +126,18 @@ object Similarity {
       .join(vw.select(col(ID).as("w"), col("vw")), Seq("w"))
       .groupBy(SRC, DST).agg(sum("vw").as("i"))
 
-    val base = pr
+    pr
       .join(nbrW.select(col(ID).as(SRC), col("d").as("da")), Seq(SRC))
       .join(nbrW.select(col(ID).as(DST), col("d").as("db")), Seq(DST))
       .join(common, Seq(SRC, DST), "left")
       .select(col(SRC), col(DST),
         coalesce(col("i"), lit(0.0)).as("i"), col("da"), col("db"))
+  }
+
+  /** Weighted formula over a [[baseWeighted]] frame (column name
+   * prefixed "w", matching runWeighted). */
+  def fromBaseWeighted(
+      base: DataFrame, coefficient: Coefficient): DataFrame = {
     val score = coefficient match {
       case Jaccard => col("i") / (col("da") + col("db") - col("i"))
       case Sorensen => lit(2.0) * col("i") / (col("da") + col("db"))
