@@ -41,8 +41,12 @@ object Hits {
     val p = g.numPartitions
 
     val fwd = g.edges.select(SRC, DST)
+    // Partitioned by the hub gather's JOIN key (rev.DST ⋈ authRaw.id):
+    // the rename had it partitioned by the renamed SRC column instead,
+    // so every iteration re-exchanged the E-sized reversed table into
+    // the join (the shuffle ledger showed ~E bytes per iteration).
     val rev = g.edges.select(col(DST).as(SRC), col(SRC).as(DST))
-      .repartition(p, col(SRC))
+      .repartition(p, col(DST))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     val verts = Lineage.materialize(

@@ -42,9 +42,17 @@ object Sssp {
     import spark.implicits._
     val p = g.numPartitions
 
-    // State: (id, distance, predecessor, changed) — the chg column is
-    // checkpointed too, so a resumed run re-enters with the exact
-    // change-frontier of the committed superstep.
+    // State: DENSE (every vertex; unreached rows carry null distance/
+    // predecessor) — (id, distance, predecessor, changed). The dense
+    // layout keeps the superstep a LEFT join that preserves the
+    // state's hash(id) partitioning, so the loop runs ONE exchange per
+    // superstep (the candidate min-reduce); the previous reached-only
+    // state needed a full_outer join (unknown output partitioning) and
+    // an explicit V-sized repartition every superstep — 7 stages per
+    // superstep instead of 2, and the loop is latency-bound (guide
+    // §2.4; measured 85 stages / 34 MB total shuffle at sf0.1).
+    // The chg column is checkpointed too, so a resumed run re-enters
+    // with the exact change-frontier of the committed superstep.
     // Fingerprint = weighted edge set + source (see Bfs): refuses to
     // resume a checkpoint of a different graph/source.
     val fp = cfg.checkpoint.map(_.graphFingerprint(
@@ -53,12 +61,16 @@ object Sssp {
       cm.latestIteration(cfg.algoName, fp).map(it =>
         (it, cm.restore(cfg.algoName, it).repartition(p, col(ID)))))
 
+    val init = g.vertices.select(col(ID))
+      .union(Seq(source).toDF(ID)) // a source outside the edge set
+      .distinct()
+      .repartition(p, col(ID))
+      .select(col(ID),
+        when(col(ID) === source, lit(0.0)).as("distance"),
+        when(col(ID) === source, lit(source)).as("predecessor"),
+        (col(ID) === source).as("chg"))
     var state = Lineage.materialize(
-      resume.map(_._2).getOrElse(
-        Seq((source, 0.0, source, true))
-          .toDF(ID, "distance", "predecessor", "chg")
-          .repartition(p, col(ID))),
-      eager = false)
+      resume.map(_._2).getOrElse(init), eager = false)
     var frontier = 1L
     var iter = resume.map(_._1).getOrElse(0)
 
@@ -78,21 +90,16 @@ object Sssp {
         .agg(min("c").as("c"))
         .select(col(DST).as("cid"), col("c.d").as("nd"), col("c.pred").as("np"))
 
+      val st = state.df
+      val better = col("nd") <
+        coalesce(st("distance"), lit(Double.MaxValue))
       val next = Lineage.materialize(
-        state.df.drop("chg")
-          .join(cand.hint("shuffle_hash"),
-            state.df(ID) === col("cid"), "full_outer")
-          .select(
-            coalesce(state.df(ID), col("cid")).as(ID),
-            when(col("nd") < coalesce(state.df("distance"), lit(Double.MaxValue)),
-              col("nd")).otherwise(state.df("distance")).as("distance"),
-            when(col("nd") < coalesce(state.df("distance"), lit(Double.MaxValue)),
-              col("np")).otherwise(state.df("predecessor")).as("predecessor"),
-            (col("nd") < coalesce(state.df("distance"), lit(Double.MaxValue)))
-              .as("chg"))
-          .select(col(ID), col("distance"), col("predecessor"),
-            coalesce(col("chg"), lit(false)).as("chg"))
-          .repartition(p, col(ID)),
+        st.join(cand.hint("shuffle_hash"), st(ID) === col("cid"), "left")
+          .select(st(ID),
+            when(better, col("nd")).otherwise(st("distance")).as("distance"),
+            when(better, col("np")).otherwise(st("predecessor"))
+              .as("predecessor"),
+            coalesce(better, lit(false)).as("chg")),
         eager = false)
 
       frontier = next.df.filter(col("chg")).count()
@@ -107,8 +114,11 @@ object Sssp {
       state = next
     }
 
+    // Reached vertices only (the dense state's unreached rows carry
+    // null distance) — same output contract as before.
     val out = Lineage.materialize(
-      state.df.select(col(ID), col("distance"), col("predecessor")))
+      state.df.filter(col("distance").isNotNull)
+        .select(col(ID), col("distance"), col("predecessor")))
     state.release()
     if (!callerCached) g.unpersist()
     out.df
