@@ -115,6 +115,17 @@ object CoreNumber {
 
     val nVerts = universe.count()
 
+    // When the delivery table is small, the full-histogram exchange
+    // costs less than the frontier machinery's extra per-round job
+    // (dirty-set distinct + broadcast build: ~5 extra stages per tail
+    // round on a loop that is latency-bound, not byte-bound). The 1M
+    // crossover is measured at sf0.1: OUT/IN (E = 580k) run ~30%
+    // faster without the frontier (158 → 108 stages), while INOUT
+    // (2E = 1.16M) still gains from it. Past the bound the
+    // tail-frontier plan is what makes the tail O(frontier) instead
+    // of O(E), and runs unchanged.
+    val smallGraph = eRows < 1000000L
+
     var iter = 0
     var changed = nVerts // first round: everything is dirty
     while (changed > 0 && iter < maxIter) {
@@ -130,7 +141,7 @@ object CoreNumber {
       // (< 10% of V — measured best at sf0.1 vs 2%, 25%), restrict the
       // histogram to the dirty dsts — tail rounds then cost
       // O(frontier), not O(E).
-      val frontierMode = iter > 1 && changed < nVerts / 10
+      val frontierMode = !smallGraph && iter > 1 && changed < nVerts / 10
       var dirtyCache: Option[DataFrame] = None
       val stream =
         if (frontierMode) {
