@@ -112,27 +112,59 @@ object Hungarian {
     // workers holding zero-cost edges to every job — the padded
     // symmetric optimum restricted to real workers IS the asymmetric
     // optimum. Dummy ids sit below every real id so they filter out
-    // of the result frame. The (m-n)*m dummy edges make this the
-    // wrong shape for m >> n instances at scale; reference usage
-    // (lap.py:18) is square or near-square worker/job splits.
+    // of the result frame.
     val agg0 = deduped.agg(
       countDistinct(col(W)), countDistinct(col(J)),
-      min(col(W)), count(lit(1))).head()
-    val (n0, m, minW, edgeCount) =
+      min(col(W)), count(lit(1)),
+      min(round(col("cost") * 1e6).cast("long"))).head()
+    val (n0, m0, minW, edges0) =
       (agg0.getLong(0), agg0.getLong(1), agg0.getLong(2), agg0.getLong(3))
-    require(edgeCount > 0, "empty cost table")
-    require(n0 <= m, s"more workers ($n0) than jobs ($m): no perfect matching")
+    require(edges0 > 0, "empty cost table")
+    require(n0 <= m0, s"more workers ($n0) than jobs ($m0): no perfect matching")
+    val minMicro = agg0.getLong(4)
+
+    // m >> n: restrict each worker to its n CHEAPEST incident jobs
+    // first (at the auction's own micro-cost resolution, ties to the
+    // lower job id). This is EXACT: if an optimum assigns worker A a
+    // job outside A's n cheapest, at most n−1 other workers occupy
+    // A's kept set, so some kept job j' is free with cost(A,j') <=
+    // cost(A,j) — swapping preserves optimality; and Hall's condition
+    // survives (a worker set S, |S| <= n, either contains a worker
+    // keeping min(deg, n) >= |S| jobs, or every member kept ALL its
+    // edges). The job universe then shrinks to <= n² rows, making the
+    // square padding independent of m — the round-5 documented
+    // (m−n)·m dummy blow-up. BoundedMinK keeps the prune itself
+    // skew-safe (O(n) buffer, map-side combinable); engaged when it
+    // pays (m > 2n) and the buffer is bounded (n <= 4096) — huge-n
+    // rectangular instances keep the padded path.
+    val prunedOpt =
+      if (n0 < m0 && m0 > 2 * n0 && n0 <= 4096) {
+        val keep = deduped
+          .select(col(W), col(J), format_string("%020d",
+            round(col("cost") * 1e6).cast("long") - lit(minMicro)).as("k"))
+          .groupBy(W)
+          .agg(graft.functions.BoundedMinK.smallestK(n0.toInt)(
+            col("k"), col(J)).as("picks"))
+          .select(col(W), explode(col("picks")).as(J))
+        Some(deduped.join(keep, Seq(W, J), "left_semi").cache())
+      } else None
+    val work = prunedOpt.getOrElse(deduped)
+    val m = prunedOpt.map(_.select(J).distinct().count()).getOrElse(m0)
+
     val dummyBase = math.min(minW, 0L) - 1
     val padded =
-      if (n0 == m) deduped
-      else deduped.select(J).distinct()
+      if (n0 == m) work
+      else work.select(J).distinct()
         .crossJoin(spark.range(m - n0).select((lit(dummyBase) - col("id")).as(W)))
         .select(col(W), col(J), lit(0.0).as("cost"))
-        .unionByName(deduped)
-    val paddedEdges = edgeCount + (m - n0) * m
-    if (paddedEdges <= localThreshold)
-      assignLocal(spark, padded, maxRounds, dummyBase)
-    else assignDistributed(spark, padded, maxRounds, dummyBase)
+        .unionByName(work)
+    val paddedEdges = edges0 + (m - n0) * m
+    val result =
+      if (paddedEdges <= localThreshold)
+        assignLocal(spark, padded, maxRounds, dummyBase)
+      else assignDistributed(spark, padded, maxRounds, dummyBase)
+    prunedOpt.foreach(_.unpersist())
+    result
   }
 
   /** Integer micro-benefit: b = -round(cost*1e6) * (n+1). The final

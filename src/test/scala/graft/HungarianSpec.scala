@@ -65,6 +65,29 @@ class HungarianSpec extends SparkSpec {
     assert(got.forall(cost.contains))
   }
 
+  test("m >> n engages the exact top-n prune and still matches the DP optimum") {
+    // 4 workers x 18 jobs (m > 2n, n <= 4096): the prune path keeps
+    // each worker's 4 cheapest jobs, shrinking the dummy padding from
+    // (m-n)·m to the pruned job universe, and must stay exactly
+    // optimal (the pigeonhole exchange argument in Hungarian.assign).
+    for (seed <- Seq(1, 2, 11)) {
+      val rng = new scala.util.Random(seed)
+      val ws = (0L until 4L).toSeq
+      val js = (200L until 218L).toSeq
+      val rows = (for (w <- ws; j <- js
+        if j == 200 + w || rng.nextDouble() < 0.7)
+        yield (w, j, (rng.nextInt(3000) + 1) / 4.0)).distinct
+      val cost = rows.map(r => (r._1, r._2) -> r._3).toMap
+      val r = Hungarian.assign(df(rows))
+      val got = r.assignments.collect().map(x => (x.getLong(0), x.getLong(1)))
+      assert(got.map(_._1).toSet == ws.toSet, s"seed $seed: not a perfect matching")
+      assert(got.map(_._2).distinct.length == ws.length, s"seed $seed: job reused")
+      assert(got.forall(cost.contains), s"seed $seed: non-edge assigned")
+      assert(math.abs(r.totalCost - bruteCost(ws, js, cost)) < 1e-6,
+        s"seed $seed: cost ${r.totalCost} != DP ${bruteCost(ws, js, cost)}")
+    }
+  }
+
   test("distributed path produces the identical assignment to the local path") {
     val rng = new scala.util.Random(3)
     val ws = (0L until 6L).toSeq
