@@ -192,11 +192,18 @@ object Bfs {
             .join(visited.df.select(col(ID)).withColumnRenamed(ID, DST),
               Seq(DST), "left_anti")
         }
+      // Both branches end in groupBy(DST), so the level is already
+      // hash(dst → id)-partitioned at the session width; when that
+      // matches the graph layout the explicit repartition is a
+      // redundant V-sized exchange per level (guide §2.4) — the next
+      // push join is co-partitioned either way. Kept when the widths
+      // differ (caller-managed layouts).
+      val body = expanded
+        .select(col(DST).as(ID), lit(depth).as("distance"),
+          col("predecessor"))
       val nextFrontier = Lineage.materialize(
-        expanded
-          .select(col(DST).as(ID), lit(depth).as("distance"),
-            col("predecessor"))
-          .repartition(p, col(ID)),
+        if (p == spark.sessionState.conf.numShufflePartitions) body
+        else body.repartition(p, col(ID)),
         eager = false)
       frontierSize = nextFrontier.df.count()
       if (frontierSize > 0) {

@@ -182,6 +182,14 @@ object TextQueries {
       // combinable hash agg and joins back on the token hash key.
       import org.apache.spark.sql.expressions.Window
       val d = docs(s, dir)
+      // Tokenizer parity note (ADVICE r5): Java \s+ (this split) and
+      // DuckDB's RE2 \S+ disagree on U+000B vertical tab (whitespace
+      // in Java, token char in RE2). The synthesized corpus contains
+      // only ASCII space/newline whitespace (PagesCorpus emits no
+      // control chars), so both engines tokenize identically — the
+      // same TOK convention the other text queries rely on; a corpus
+      // with U+000B would need the whitespace class pinned explicitly
+      // on both sides.
       val toks = d.select(col("doc_id"),
         explode(filter(split(lower(col("text")), "\\s+"), x => x =!= ""))
           .as("token"))

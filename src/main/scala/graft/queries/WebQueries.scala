@@ -570,6 +570,14 @@ object WebQueries {
         |SELECT hl.host, hl.lang, hl.n_pages, top.top_lang
         |FROM hl JOIN top ON top.host = hl.host""".stripMargin,
 
+    // Invariant (ADVICE r5): the oracle's recursive CTE caps the BFS
+    // at dist < 60 while the engine's Bfs.run is unbounded. Safe
+    // because the Scale=9/EdgeFactor=2 RMAT corpus has directed
+    // eccentricity << 60 from the renumbered root (measured depth <= 8
+    // at the verify scale; the -1 bucket only ever holds UNREACHED
+    // pages on both sides). If Scale/EdgeFactor grow, re-derive the
+    // cap alongside them or a depth->60 page would land in the -1
+    // bucket on the oracle side only.
     "q_web_crawl_depth" ->
       s"""$WEB,
         |verts AS (
