@@ -93,17 +93,21 @@ object Hits {
         .select(rev(SRC).as(ID), col("auth_in").as("m"))
         .groupBy(ID).agg(sum("m").as("hub_in"))
 
-      val next = Lineage.materialize(
-        state.df
-          .join(authRaw.withColumnRenamed(ID, "va").hint("shuffle_hash"),
-            state.df(ID) === col("va"), "left")
-          .join(hubRaw.withColumnRenamed(ID, "vh").hint("shuffle_hash"),
-            state.df(ID) === col("vh"), "left")
-          .select(state.df(ID),
-            coalesce(col("hub_in"), lit(0.0)).as("hub_raw"),
-            coalesce(col("auth_in"), lit(0.0)).as("auth_raw"),
-            (state.df("hub_raw") / hubNorm).as("prev_hub")),
-        eager = false)
+      val nextPlan = state.df
+        .join(authRaw.withColumnRenamed(ID, "va").hint("shuffle_hash"),
+          state.df(ID) === col("va"), "left")
+        .join(hubRaw.withColumnRenamed(ID, "vh").hint("shuffle_hash"),
+          state.df(ID) === col("vh"), "left")
+        .select(state.df(ID),
+          coalesce(col("hub_in"), lit(0.0)).as("hub_raw"),
+          coalesce(col("auth_in"), lit(0.0)).as("auth_raw"),
+          (state.df("hub_raw") / hubNorm).as("prev_hub"))
+      // Loop-shape evidence hook: the full-iteration plan (auth gather
+      // + hub gather over rev + state update), once.
+      if (iter == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        nextPlan.explain("formatted")
+      }
+      val next = Lineage.materialize(nextPlan, eager = false)
 
       val m = next.df.agg(max("hub_raw"), max("auth_raw")).head()
       val (hubMax, authMax) = (m.getDouble(0), m.getDouble(1))

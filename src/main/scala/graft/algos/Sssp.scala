@@ -93,14 +93,19 @@ object Sssp {
       val st = state.df
       val better = col("nd") <
         coalesce(st("distance"), lit(Double.MaxValue))
-      val next = Lineage.materialize(
-        st.join(cand.hint("shuffle_hash"), st(ID) === col("cid"), "left")
-          .select(st(ID),
-            when(better, col("nd")).otherwise(st("distance")).as("distance"),
-            when(better, col("np")).otherwise(st("predecessor"))
-              .as("predecessor"),
-            coalesce(better, lit(false)).as("chg")),
-        eager = false)
+      val nextPlan = st
+        .join(cand.hint("shuffle_hash"), st(ID) === col("cid"), "left")
+        .select(st(ID),
+          when(better, col("nd")).otherwise(st("distance")).as("distance"),
+          when(better, col("np")).otherwise(st("predecessor"))
+            .as("predecessor"),
+          coalesce(better, lit(false)).as("chg"))
+      // Loop-shape evidence hook (same convention as PageRank's):
+      // the superstep plan, once, for plans/r06.
+      if (iter == 1 && sys.env.contains("SPARK_GRAFT_EXPLAIN")) {
+        nextPlan.explain("formatted")
+      }
+      val next = Lineage.materialize(nextPlan, eager = false)
 
       frontier = next.df.filter(col("chg")).count()
       cfg.checkpoint.foreach { cm =>
