@@ -110,16 +110,26 @@ object Scc {
 
       // 2. Backward frontier from roots, restricted to equal f.
       //    fs/fd once per pass: edge endpoints annotated with labels.
+      // V-sized frames (label table, frontier, marked set) broadcast
+      // when the live vertex set fits (guide §3.1): the label
+      // annotation then streams the cached edge table in place (the
+      // dst-side join otherwise re-exchanged it E-sized), the
+      // per-round frontier semi-join and marked anti-join need no
+      // exchange, and the marked union drops its per-round V-sized
+      // repartition (nothing downstream needs its layout — every
+      // consumer broadcasts it). Past the bound the original
+      // co-partitioned shuffle plan runs unchanged.
+      val bcast = remaining * 32L < (64L << 20)
       val fTab = f.df.select(col(ID), col("f"))
+      val fsJ = fTab.withColumnRenamed(ID, SRC).withColumnRenamed("f", "fs")
+      val fdJ = fTab.withColumnRenamed(ID, DST).withColumnRenamed("f", "fd")
+      val eLabPlan = edges.df
+        .join(if (bcast) broadcast(fsJ) else fsJ, Seq(SRC))
+        .join(if (bcast) broadcast(fdJ) else fdJ, Seq(DST))
+        .filter(col("fs") === col("fd"))
+        .select(SRC, DST)
       val eLab = Lineage.materialize(
-        edges.df
-          .join(fTab.withColumnRenamed(ID, SRC).withColumnRenamed("f", "fs"),
-            Seq(SRC))
-          .join(fTab.withColumnRenamed(ID, DST).withColumnRenamed("f", "fd"),
-            Seq(DST))
-          .filter(col("fs") === col("fd"))
-          .select(SRC, DST)
-          .repartition(p, col(DST)),
+        if (bcast) eLabPlan else eLabPlan.repartition(p, col(DST)),
         eager = false)
 
       var marked = Lineage.materialize(
@@ -132,17 +142,22 @@ object Scc {
       while (grew > 0 && it < maxIter) {
         it += 1
         // predecessors of the frontier inside the same forward region
+        val frontJ = frontier.withColumnRenamed(ID, DST)
         val preds = eLab.df
-          .join(frontier.withColumnRenamed(ID, DST).hint("shuffle_hash"),
+          .join(if (bcast) broadcast(frontJ) else frontJ.hint("shuffle_hash"),
             Seq(DST), "left_semi")
           .select(col(SRC).as(ID)).distinct()
-        val fresh = preds.join(marked.df, Seq(ID), "left_anti")
+        val fresh = preds.join(
+          if (bcast) broadcast(marked.df) else marked.df, Seq(ID), "left_anti")
         val freshH = Lineage.materialize(fresh, eager = false)
         passScratch += freshH
         grew = freshH.df.count()
         if (grew > 0) {
+          val nextMarkedPlan = marked.df.union(freshH.df)
           val nextMarked = Lineage.materialize(
-            marked.df.union(freshH.df).repartition(p, col(ID)), eager = false)
+            if (bcast) nextMarkedPlan
+            else nextMarkedPlan.repartition(p, col(ID)),
+            eager = false)
           passScratch += marked
           marked = nextMarked
           frontier = freshH.df
@@ -151,21 +166,28 @@ object Scc {
 
       // 3. Settle marked vertices with scc = f.
       val settledPass = Lineage.materialize(
-        marked.df.join(fTab, Seq(ID)).select(col(ID), col("f").as("scc")))
+        if (bcast)
+          fTab.join(broadcast(marked.df), Seq(ID))
+            .select(col(ID), col("f").as("scc"))
+        else marked.df.join(fTab, Seq(ID)).select(col(ID), col("f").as("scc")))
       settledHandles += settledPass
       settled += settledPass.df
 
-      // Shrink the live graph.
+      // Shrink the live graph (marked broadcasts under the same bound).
+      val mSrc = marked.df.withColumnRenamed(ID, SRC)
+      val mDst = marked.df.withColumnRenamed(ID, DST)
       val newVerts = Lineage.materialize(
-        verts.df.join(marked.df, Seq(ID), "left_anti").repartition(p, col(ID)),
+        verts.df.join(if (bcast) broadcast(marked.df) else marked.df,
+            Seq(ID), "left_anti")
+          .repartition(p, col(ID)),
         eager = false)
       // EAGER: both must be fully cached before their parents (edges,
       // marked, f) are released below — a lazy handle would recompute
       // through freed checkpoint blocks next pass.
       val newEdges = Lineage.materialize(
         edges.df
-          .join(marked.df.withColumnRenamed(ID, SRC), Seq(SRC), "left_anti")
-          .join(marked.df.withColumnRenamed(ID, DST), Seq(DST), "left_anti")
+          .join(if (bcast) broadcast(mSrc) else mSrc, Seq(SRC), "left_anti")
+          .join(if (bcast) broadcast(mDst) else mDst, Seq(DST), "left_anti")
           .repartition(p, col(SRC)))
       remaining = newVerts.df.count()
       verts.release(); edges.release(); f.release(); eLab.release()
