@@ -75,9 +75,17 @@ object LabelPropagation {
       iter += 1
       // Deterministic argmax: max over struct(count, -label) picks the
       // highest count, then (negated) the smallest label.
+      // ONE exchange per iteration (the CoreNumber byDst pattern,
+      // measured there as ~25% faster than letting the aggs exchange
+      // themselves): hash by dst once — HashPartitioning(dst)
+      // satisfies the clustering of BOTH the (dst, label) histogram
+      // and the per-dst argmax, and the state join is dst ≡ id
+      // co-partitioned — where the two stacked groupBys otherwise
+      // paid a hash(dst, label) exchange AND a hash(dst) exchange.
       val msgs = edges
         .join(state.df.hint("shuffle_hash"), edges(SRC) === state.df(ID))
         .select(col(DST), col(LBL))
+        .repartition(p, col(DST))
         .groupBy(DST, LBL)
         .agg(count(lit(1)).as("cnt"))
         .groupBy(DST)
