@@ -60,9 +60,17 @@ object KCore {
       val keep = degStream.groupBy(ID).agg(count(lit(1)).as("d"))
         .filter(col("d") >= k)
         .select(ID)
+      // The survivor set is bounded by V <= 2·(edge rows): broadcast
+      // it into BOTH semi-joins when it fits (guide §3.1) — the
+      // dst-side semi-join otherwise re-exchanges the whole edge
+      // table every peel round (its layout is hash(src)). Past the
+      // bound the shuffled semi-joins run as before.
+      val bcastKeep = n * 64L < (64L << 20)
+      val keepS = keep.withColumnRenamed(ID, SRC)
+      val keepD = keep.withColumnRenamed(ID, DST)
       val pruned = cur.df
-        .join(keep.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
-        .join(keep.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
+        .join(if (bcastKeep) broadcast(keepS) else keepS, Seq(SRC), "left_semi")
+        .join(if (bcastKeep) broadcast(keepD) else keepD, Seq(DST), "left_semi")
       val next = Lineage.materialize(pruned, eager = false)
       val m = next.df.count()
       changed = m < n

@@ -147,9 +147,16 @@ object TriangleCount {
       val keep = cur.df.groupBy(col(SRC).as(ID)).agg(count(lit(1)).as("d"))
         .filter(col("d") >= 2)
         .select(ID)
+      // Survivors ⊆ V ≤ symmetric edge rows: broadcast into both
+      // semi-joins when that fits — the dst-side semi-join otherwise
+      // re-exchanges the whole hash(src) edge table every peel round
+      // (the KCore.subgraph fix, same bound). Shuffled past the bound.
+      val bcastKeep = n * 32L < (64L << 20)
+      val keepS = keep.withColumnRenamed(ID, SRC)
+      val keepD = keep.withColumnRenamed(ID, DST)
       val pruned = cur.df
-        .join(keep.withColumnRenamed(ID, SRC), Seq(SRC), "left_semi")
-        .join(keep.withColumnRenamed(ID, DST), Seq(DST), "left_semi")
+        .join(if (bcastKeep) broadcast(keepS) else keepS, Seq(SRC), "left_semi")
+        .join(if (bcastKeep) broadcast(keepD) else keepD, Seq(DST), "left_semi")
       val next = graft.core.Lineage.materialize(pruned, eager = false)
       val m = next.df.count()
       changed = m < n
