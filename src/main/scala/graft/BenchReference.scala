@@ -27,58 +27,64 @@ package graft
  */
 object BenchReference {
   val seconds: Map[String, Double] = Map(
-    "q_ecg" -> 18.4,
-    "q_core_number_out" -> 14.4,
     "q_core_number_in" -> 14.2,
+    "q_core_number_out" -> 13.2,
     "q_spectral_k" -> 13.0,
     "q_ktruss" -> 12.6,
+    "q_ecg" -> 12.0,
     "q_leiden" -> 9.8,
     "q_spectral_mod" -> 9.7,
     "q_core_number" -> 9.2,
     "q_spectral" -> 8.9,
-    "q_scc" -> 8.8,
     "q_edge_betweenness" -> 7.3,
-    "q_betweenness" -> 7.2,
+    "q_scc" -> 7.1,
     "q_triangles" -> 6.9,
+    "q_betweenness" -> 6.9,
     "q_sssp" -> 6.8,
-    "q_is_bipartite" -> 6.3,
-    "q_force_atlas2" -> 5.6,
+    "q_is_bipartite" -> 6.2,
     "q_mst_max" -> 5.6,
+    "q_force_atlas2" -> 5.6,
     "q_louvain" -> 5.4,
     "q_mst" -> 5.4,
     "q_web_host_pagerank" -> 5.0,
-    "q_node2vec" -> 4.7,
     "q_pagerank_personalized" -> 4.7,
     "q_pagerank_weighted" -> 4.7,
-    "q_bicliques" -> 4.6,
+    "q_node2vec" -> 4.7,
     "q_doc_decontaminate" -> 4.6,
+    "q_bicliques" -> 4.6,
     "q_random_walks" -> 4.3,
-    "q_checkpoint_roundtrip" -> 4.2,
-    "q_katz" -> 4.2,
     "q_pagerank" -> 4.2,
-    "q_bfs" -> 3.9,
+    "q_katz" -> 4.2,
+    "q_checkpoint_roundtrip" -> 4.2,
     "q_doc_dedup_groups" -> 3.9,
     "q_eigenvector" -> 3.9,
-    "q_lpa" -> 3.8,
-    "q_web_triangles" -> 3.7,
+    "q_bfs" -> 3.9,
     "q_hits" -> 3.6,
     "q_pg_stats" -> 3.6,
-    "q_biased_walks" -> 3.5,
     "q_ms_bfs" -> 3.5,
-    "q_bicliques_stats" -> 3.2,
+    "q_biased_walks" -> 3.5,
+    "q_lpa" -> 3.2,
     "q_web_pagerank_top10" -> 3.2,
-    "q_web_lpa" -> 3.1,
-    "q_doc_simhash_dups" -> 3.0,
+    "q_bicliques_stats" -> 3.2,
     "q_graph_stats" -> 3.0,
+    "q_doc_simhash_dups" -> 3.0,
+    "q_web_anchor_text" -> 2.9,
+    "q_doc_repetition" -> 2.8,
     "q_wcc" -> 2.7,
-    "q_web_crawl_depth" -> 2.6,
     "q_wjaccard" -> 2.6,
-    "q_npartite_sets" -> 2.4,
+    "q_web_crawl_depth" -> 2.6,
+    "q_web_lpa" -> 2.5,
+    "q_embed_near_dup" -> 2.5,
     "q_two_hop" -> 2.4,
+    "q_npartite_sets" -> 2.4,
     "q_doc_minhash_lsh" -> 2.3,
-    "q_adj_sample" -> 2.1,
+    "q_mtx_roundtrip" -> 2.2,
+    "q_web_triangles" -> 2.2,
+    "q_symmetrize" -> 2.2,
     "q_spectral_metrics" -> 2.1,
+    "q_pg_renumber" -> 2.0,
+    "q_adj_sample" -> 2.0,
     "q_extract_paths" -> 2.0,
-    "q_pg_renumber" -> 2.0
+    "q_adj_roundtrip" -> 2.0
   )
 }
